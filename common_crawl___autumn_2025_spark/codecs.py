@@ -1,0 +1,193 @@
+"""Pure-stdlib image codecs + pixel metrics.
+
+The engine's canonical record table carries encoded image payloads
+(``bytes BINARY, fmt STRING`` — see ``BASELINE.json:input_hint``).
+No image library (Pillow/opencv) exists in the runtime, so the engine
+ships its own lossless codecs:
+
+- PNG: 8-bit RGB, zlib-deflated, all five PNG filter types supported
+  on decode; encode uses filter 0 (None) per scanline.
+- PPM: binary P6, 8-bit RGB.
+
+Both are lossless, so the per-row invariant (decoded-pixel allclose,
+PSNR >= 40 dB for lossy formats; exact for lossless — the reference
+analog is the page-content equality the practical's ground-truth
+checks rely on, cf. reference ``Matching_with_recursion.py:434-435``)
+degenerates to exact equality, with PSNR still computed and asserted.
+
+All functions are numpy-vectorized per image and are called from
+Arrow-batched pandas UDFs only (never row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an RGB PNG."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    # filter byte 0 (None) prepended to every scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, level=6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG produced by any conformant encoder."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = bit_depth = color_type = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color_type != 2:
+        raise ValueError(f"unsupported PNG: depth={bit_depth} color={color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = row + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor recurrence
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - 3] if x >= 3 else 0
+                up = prev[x]
+                ul = prev[x - 3] if x >= 3 else 0
+                if ftype == 1:
+                    cur[x] = row[x] + left
+                elif ftype == 3:
+                    cur[x] = row[x] + ((int(left) + int(up)) >> 1)
+                else:
+                    cur[x] = row[x] + _paeth(
+                        np.uint8(left), np.uint8(up), np.uint8(ul)
+                    )
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return out.reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval separated by whitespace
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not data[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "ppm":
+        return decode_ppm(data)
+    raise NotImplementedError(f"unsupported image format: {fmt!r}")
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "ppm":
+        return encode_ppm(pixels)
+    raise NotImplementedError(f"unsupported image format: {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average perceptual hash (signed int64, two's complement).
+
+    Grayscale -> 8x8 block-mean downsample -> bit = (cell > mean).
+    Deterministic and pure; used both by the record generator and the
+    near-duplicate operators.
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # block-mean resize to 8x8 via index binning (handles any h, w >= 8)
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:  # store as signed int64 for Spark LongType
+        val -= 1 << 64
+    return val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
