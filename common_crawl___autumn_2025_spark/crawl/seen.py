@@ -1,0 +1,263 @@
+"""Sharded Bloom-filtered URL-seen set.
+
+The reference deduplicates with in-memory Python structures — a
+``set`` of links (``company_number_scrape.py:41``) and a per-entity
+``recursion_depth`` dict (``Matching_with_recursion.py:413,480-515``).
+Neither survives a restart nor scales past one machine. The engine's
+equivalent is:
+
+- an exact, Parquet-backed ``url_seen`` table ``(shard INT,
+  surt STRING, first_round INT)``, hash-sharded by
+  ``blake2b64(surt) % n_shards``;
+- a per-shard Bloom bitmap sidecar, built distributively with
+  ``applyInPandas`` and OR-merged, broadcast to executors as a
+  cheap *prefilter* for the anti-join.
+
+Correctness contract: Bloom false positives are safe because every
+Bloom-positive row is confirmed against the exact table with a
+``left_anti`` join; Bloom negatives are *definitely unseen* and skip
+the join entirely. Membership therefore exactly matches the
+reference's set semantics (required by ``BASELINE.json:metric``),
+while at the 10^10-URL design point the Bloom pass keeps the big
+frontier⋈seen sort-merge join to the small Bloom-positive slice
+(plus the false-positive trickle, ~0.1% at 10 bits/entry).
+
+Scale notes: shard count and bits are parameters; at 10^10 URLs use
+~4096 shards × 3 GB total bitmap (2.4 bits/URL → FP ~8%, still a
+12× join-volume cut) or 10 bits/URL for FP<1%. Shards build
+independently and incrementally — each round ORs only its delta.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEEN_SCHEMA = "shard int, surt string, first_round int"
+
+
+def hash64(s: str) -> int:
+    """Stable unsigned 64-bit hash used for sharding."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def bloom_positions(s: str, n_bits: int, k: int) -> list[int]:
+    """Double hashing (Kirsch-Mitzenmacher): h1 + i*h2 mod m."""
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+class SeenSet:
+    """Sharded exact seen-table + Bloom sidecars under ``path``.
+
+    Layout::
+
+        <path>/exact/             parquet, partitioned by shard
+        <path>/bloom/shard=N.npy  packed bitmaps
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_shards: int = 16,
+        bits_per_shard: int = 1 << 20,
+        n_hashes: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.n_shards = n_shards
+        self.bits = bits_per_shard
+        self.k = n_hashes
+        self._bitmaps: dict[int, np.ndarray] | None = None
+        os.makedirs(os.path.join(path, "bloom"), exist_ok=True)
+
+    # -- exact table ---------------------------------------------------
+
+    @property
+    def exact_path(self) -> str:
+        return os.path.join(self.path, "exact")
+
+    def _has_exact(self) -> bool:
+        p = self.exact_path
+        return os.path.exists(p) and any(
+            f.startswith("shard=") or f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def exact_df(self) -> DataFrame:
+        if self._has_exact():
+            return self.spark.read.parquet(self.exact_path)
+        return self.spark.createDataFrame([], SEEN_SCHEMA)
+
+    # -- updates ---------------------------------------------------------
+
+    def add(self, surts: DataFrame, round_no: int) -> int:
+        """Union new surts into the exact table + Bloom shards.
+
+        ``surts`` must have a ``surt`` column (other columns are
+        ignored); callers pass rows already known-unseen, but the
+        method distincts defensively. Exact rows *append* as new
+        parquet files per shard partition (no rewrite of old data —
+        append-only snapshot, cf. checkpoints module); bitmaps
+        OR-merge per shard on the driver (tiny: bits/8 bytes each).
+        Returns rows added.
+        """
+        n_shards, bits, k = self.n_shards, self.bits, self.k
+
+        def shard_rows(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "shard": pdf["surt"].map(lambda s: hash64(s) % n_shards).astype("int32"),
+                        "surt": pdf["surt"],
+                        "first_round": np.int32(round_no),
+                    }
+                )
+
+        delta = (
+            surts.select("surt")
+            .where(F.col("surt").isNotNull() & (F.col("surt") != ""))
+            .distinct()
+            .mapInPandas(shard_rows, schema=SEEN_SCHEMA)
+        )
+        delta.write.mode("append").partitionBy("shard").parquet(self.exact_path)
+
+        # per-shard Bloom delta bitmaps, built where the data lives
+        def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bitmap = np.zeros(bits, dtype=bool)
+            for s in pdf["surt"]:
+                bitmap[bloom_positions(s, bits, k)] = True
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "packed": [np.packbits(bitmap).tobytes()]}
+            )
+
+        exact_delta = self.spark.read.parquet(self.exact_path).where(
+            F.col("first_round") == round_no
+        )
+        packed = (
+            exact_delta.groupBy("shard")
+            .applyInPandas(build_bitmap, schema="shard int, packed binary")
+            .collect()
+        )
+        for row in packed:
+            new = np.unpackbits(
+                np.frombuffer(row["packed"], dtype=np.uint8), count=bits
+            ).astype(bool)
+            f = self._bloom_file(row["shard"])
+            if os.path.exists(f):
+                new = np.load(f) | new
+            np.save(f, new)
+        self._bitmaps = None  # invalidate broadcast cache
+        return exact_delta.count()
+
+    def rollback(self, last_good_round: int) -> None:
+        """Drop seen rows from rounds after ``last_good_round`` and
+        rebuild Bloom shards from the exact table.
+
+        Used on resume: a crash between the seen append and the
+        checkpoint commit may leave a partial round in the exact
+        table; rollback restores the seen set to exactly the last
+        committed snapshot (byte-identical resume contract).
+        """
+        if not self._has_exact():
+            return
+        import shutil
+        import tempfile
+
+        df = self.exact_df().where(F.col("first_round") <= last_good_round)
+        tmp = tempfile.mkdtemp(dir=self.path)
+        df.write.mode("overwrite").partitionBy("shard").parquet(os.path.join(tmp, "exact"))
+        shutil.rmtree(self.exact_path)
+        os.rename(os.path.join(tmp, "exact"), self.exact_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        bits, k = self.bits, self.k
+
+        def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bitmap = np.zeros(bits, dtype=bool)
+            for s in pdf["surt"]:
+                bitmap[bloom_positions(s, bits, k)] = True
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "packed": [np.packbits(bitmap).tobytes()]}
+            )
+
+        shutil.rmtree(os.path.join(self.path, "bloom"), ignore_errors=True)
+        os.makedirs(os.path.join(self.path, "bloom"), exist_ok=True)
+        packed = (
+            self.exact_df()
+            .groupBy("shard")
+            .applyInPandas(build_bitmap, schema="shard int, packed binary")
+            .collect()
+        )
+        for row in packed:
+            bitmap = np.unpackbits(
+                np.frombuffer(row["packed"], dtype=np.uint8), count=bits
+            ).astype(bool)
+            np.save(self._bloom_file(row["shard"]), bitmap)
+        self._bitmaps = None
+
+    # -- bloom sidecar ---------------------------------------------------
+
+    def _bloom_file(self, shard: int) -> str:
+        return os.path.join(self.path, "bloom", f"shard={shard}.npy")
+
+    def load_bitmaps(self) -> dict[int, np.ndarray]:
+        if self._bitmaps is None:
+            out = {}
+            for shard in range(self.n_shards):
+                f = self._bloom_file(shard)
+                if os.path.exists(f):
+                    out[shard] = np.load(f)
+            self._bitmaps = out
+        return self._bitmaps
+
+    # -- probe -----------------------------------------------------------
+
+    def filter_unseen(self, frontier: DataFrame, surt_col: str = "surt") -> DataFrame:
+        """Rows of ``frontier`` whose surt is NOT in the seen set.
+
+        Bloom-negative rows pass through without touching the exact
+        table; Bloom-positive rows are confirmed via ``left_anti``
+        against only their shards.
+        """
+        bitmaps = self.load_bitmaps()
+        if not bitmaps:
+            return frontier
+        n_shards, bits, k = self.n_shards, self.bits, self.k
+        packed = {s: np.packbits(m) for s, m in bitmaps.items()}
+        b_maps = self.spark.sparkContext.broadcast(packed)
+        cols = frontier.columns
+
+        def probe(batches):
+            unpacked = {
+                s: np.unpackbits(m, count=bits).astype(bool)
+                for s, m in b_maps.value.items()
+            }
+            for pdf in batches:
+                flags = []
+                for s in pdf[surt_col]:
+                    bm = unpacked.get(hash64(s) % n_shards)
+                    flags.append(
+                        bm is not None
+                        and all(bm[p] for p in bloom_positions(s, bits, k))
+                    )
+                yield pdf.assign(__bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool))
+
+        schema_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
+        )
+        flagged = frontier.mapInPandas(probe, schema=schema_fields + ", __bloom_maybe boolean")
+        negatives = flagged.where(~F.col("__bloom_maybe")).select(*cols)
+        positives = flagged.where(F.col("__bloom_maybe")).select(*cols)
+        seen_keys = self.exact_df().select(F.col("surt").alias(surt_col))
+        confirmed_unseen = positives.join(seen_keys, on=[surt_col], how="left_anti")
+        return negatives.unionByName(confirmed_unseen)

@@ -1,0 +1,93 @@
+"""Codec + payload invariants (BASELINE.json:input_hint — decoded-pixel
+allclose / PSNR >= 40 dB + caption equality)."""
+
+import numpy as np
+import pytest
+
+from common_crawl___autumn_2025_spark import synthetic as syn
+from common_crawl___autumn_2025_spark.codecs import (
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+)
+
+
+@pytest.mark.parametrize("key", range(8))
+@pytest.mark.parametrize("fmt", ["png", "ppm"])
+def test_roundtrip_exact(key, fmt):
+    img = syn.make_image(key)
+    back = decode_image(encode_image(img, fmt), fmt)
+    assert np.array_equal(img, back)
+    assert psnr(img, back) == float("inf")
+
+
+def test_psnr_threshold():
+    img = syn.make_image(1).astype(np.int16)
+    noisy = np.clip(img + 2, 0, 255).astype(np.uint8)  # tiny perturbation
+    assert psnr(img.astype(np.uint8), noisy) >= 40.0
+    very_noisy = np.clip(img + 64, 0, 255).astype(np.uint8)
+    assert psnr(img.astype(np.uint8), very_noisy) < 40.0
+
+
+def test_png_foreign_filters():
+    """Decoder handles Up-filtered scanlines (other encoders use them)."""
+    import struct
+    import zlib
+
+    from common_crawl___autumn_2025_spark.codecs import _PNG_SIG, _chunk
+
+    img = syn.make_image(3)
+    h, w = img.shape[:2]
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        cur = img[y].reshape(-1)
+        rows.append(b"\x02" + (cur - prev).astype(np.uint8).tobytes())  # Up filter
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_ppm_with_comment():
+    img = syn.make_image(2)
+    data = b"P6\n# c\n%d %d\n255\n" % (img.shape[1], img.shape[0]) + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+
+
+def test_unsupported_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", "jpeg")
+    with pytest.raises(NotImplementedError):
+        encode_image(syn.make_image(0), "webp")
+
+
+def test_phash_properties():
+    a = syn.make_image(10)
+    assert phash64(a) == phash64(a.copy())
+    # mild noise keeps hash close; different image is far
+    noisy = np.clip(a.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+    assert hamming64(phash64(a), phash64(noisy)) <= 12
+    b = syn.make_image(11)
+    assert hamming64(phash64(a), phash64(b)) > 4
+    assert -(1 << 63) <= phash64(a) < (1 << 63)  # fits Spark LongType
+
+
+def test_records_generator_deterministic():
+    a = syn.records_pandas(10, seed=42)
+    b = syn.records_pandas(10, seed=42)
+    assert (a["caption"] == b["caption"]).all()
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+    for _, r in a.iterrows():
+        px = decode_image(r["bytes"], r["fmt"])
+        assert px.shape == (r["h"], r["w"], 3)
+        assert phash64(px) == r["phash"]

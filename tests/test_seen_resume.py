@@ -1,0 +1,147 @@
+"""SeenSet properties + checkpoint resume equality."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from common_crawl___autumn_2025_spark import synthetic as syn
+from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSpec
+from common_crawl___autumn_2025_spark.crawl.seen import SeenSet, bloom_positions, hash64
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every added surt must be Bloom-positive (FPs allowed, FNs never)."""
+    root = tempfile.mkdtemp(prefix="seen_")
+    try:
+        seen = SeenSet(spark, root, n_shards=4, bits_per_shard=1 << 14)
+        surts = [f"com,site{i:04d})/page/{i % 7}" for i in range(500)]
+        df = spark.createDataFrame([(s,) for s in surts], "surt string")
+        added = seen.add(df, round_no=0)
+        assert added == 500
+        bitmaps = seen.load_bitmaps()
+        for s in surts:
+            bm = bitmaps[hash64(s) % 4]
+            assert all(bm[p] for p in bloom_positions(s, 1 << 14, 5))
+        # filter_unseen removes exactly the seen ones
+        probe = spark.createDataFrame(
+            [(s,) for s in surts[:100]] + [(f"org,new{i})/",) for i in range(50)],
+            "surt string",
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {f"org,new{i})/" for i in range(50)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_seen_incremental_and_rollback(spark):
+    root = tempfile.mkdtemp(prefix="seen_rb_")
+    try:
+        seen = SeenSet(spark, root, n_shards=2, bits_per_shard=1 << 12)
+        seen.add(spark.createDataFrame([("a)/",), ("b)/",)], "surt string"), 0)
+        seen.add(spark.createDataFrame([("c)/",), ("d)/",)], "surt string"), 1)
+        assert {r.surt for r in seen.exact_df().collect()} == {"a)/", "b)/", "c)/", "d)/"}
+        seen.rollback(0)
+        assert {r.surt for r in seen.exact_df().collect()} == {"a)/", "b)/"}
+        # bloom rebuilt: c)/ and d)/ may hash anywhere, but a,b still positive
+        probe = spark.createDataFrame([("a)/",), ("c)/",)], "surt string")
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {"c)/"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def small_spec():
+    return CrawlSpec(web=syn.WebConfig(n_hosts=12), max_depth=1, max_rounds=3)
+
+
+def test_resume_equals_uninterrupted(spark, small_spec):
+    """Kill after round 0, resume → identical final state (north rule)."""
+    seeds = syn.seed_urls(small_spec.web, 10)
+
+    root_full = tempfile.mkdtemp(prefix="ck_full_")
+    root_part = tempfile.mkdtemp(prefix="ck_part_")
+    try:
+        full = CrawlEngine(spark, small_spec, root_full, partitions=4)
+        full.run(seeds)
+
+        # interrupted run: only round 0 gets committed
+        import dataclasses
+
+        spec_one = dataclasses.replace(small_spec, max_rounds=1)
+        assert spec_one.config_hash() != small_spec.config_hash()
+        part = CrawlEngine(spark, small_spec, root_part, partitions=4)
+        # run only the first round by committing manually
+        from common_crawl___autumn_2025_spark.crawl.frontier import (
+            MATCH_SCHEMA,
+            seeds_frontier,
+        )
+
+        frontier = seeds_frontier(spark, seeds)
+        matches = spark.createDataFrame([], MATCH_SCHEMA)
+        nxt, fetched, matches, records, metrics = part.run_round(0, frontier, matches)
+        part.store.commit(
+            0,
+            {"frontier": nxt, "fetch_log": fetched.drop("bytes", "hrefs", "caption"),
+             "matches": matches, "records": records},
+            metrics,
+            small_spec.config_hash(),
+        )
+        # simulate a crash mid-round-1: partial seen append without commit
+        part.seen.add(spark.createDataFrame([("zz,partial)/",)], "surt string"), 1)
+
+        resumed = CrawlEngine(spark, small_spec, root_part, partitions=4)
+        resumed.run(seeds, resume=True)
+
+        def state(eng):
+            latest = eng.store.latest_round()
+            log = sorted(
+                (r.round, r.host, r.seq, r.surt, r.status)
+                for rr in range(latest + 1)
+                for r in eng.store.read_table(rr, "fetch_log").collect()
+            )
+            seen = sorted(r.surt for r in eng.seen.exact_df().collect())
+            m = sorted(
+                (r.seed_id, r.surt, r.target_number, r.round)
+                for r in eng.store.read_table(latest, "matches").collect()
+            )
+            return log, seen, m
+
+        assert state(resumed) == state(full)
+    finally:
+        shutil.rmtree(root_full, ignore_errors=True)
+        shutil.rmtree(root_part, ignore_errors=True)
+
+
+def test_resume_refuses_config_mismatch(spark, small_spec):
+    import dataclasses
+
+    seeds = syn.seed_urls(small_spec.web, 5)
+    root = tempfile.mkdtemp(prefix="ck_cfg_")
+    try:
+        CrawlEngine(spark, small_spec, root, partitions=2).run(seeds)
+        other = dataclasses.replace(small_spec, max_depth=2)
+        with pytest.raises(ValueError, match="config mismatch"):
+            CrawlEngine(spark, other, root, partitions=2).run(seeds, resume=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_lineage_chain(spark, small_spec):
+    seeds = syn.seed_urls(small_spec.web, 8)
+    root = tempfile.mkdtemp(prefix="ck_lin_")
+    try:
+        eng = CrawlEngine(spark, small_spec, root, partitions=2)
+        eng.run(seeds)
+        chain = eng.store.lineage()
+        rounds = [m["round"] for m in chain]
+        assert rounds == sorted(rounds, reverse=True)
+        assert chain[-1]["parent_round"] is None
+        for m in chain:
+            assert "fetched" in m["metrics"]
+            for tbl in ("frontier", "fetch_log", "matches", "records"):
+                assert tbl in m["tables"]
+                assert isinstance(m["tables"][tbl]["partitions"], list)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
