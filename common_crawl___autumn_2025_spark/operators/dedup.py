@@ -1,0 +1,233 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, each a ``queries()`` entry:
+
+- exact (hash groupBy) — oracle-checked;
+- shingle Jaccard (3-gram, exact) — oracle-checked, integer-ratio
+  threshold;
+- MinHash + LSH banding — Spark-only (xxhash64 has no DuckDB twin);
+  validated by pytest against exact Jaccard (candidates ⊇ true pairs);
+- SimHash — Arrow-vectorized pandas UDF; pytest hamming properties;
+- embedding-cosine near-dup lives in ``similarity.py``.
+
+Scale shape: every family is shuffle-on-key (hash, shingle, band
+bucket) with no driver-side state; candidate generation is blocked
+(LSH bands / shingle buckets), never all-pairs. All-pairs appears
+only inside the *exact* verifiers at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans import load, register
+
+N_HASHES = 32          # minhash signature length
+N_BANDS = 8            # LSH bands (rows per band = 4)
+SHINGLE = 3
+
+
+def _shingles(col: str = "text"):
+    """3-token shingles as strings, JVM-side: split → sequence →
+    transform. No Python."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
+    return F.when(
+        n >= SHINGLE,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", toks[i], toks[i + 1], toks[i + 2]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks[0])))
+
+
+@register(
+    "d01_exact_dup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    )
+    SELECT text_hash, n_copies, keeper_doc FROM (
+      SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(doc_id) AS BIGINT) AS keeper_doc
+      FROM corpus GROUP BY md5(text)
+    ) WHERE n_copies > 1
+    """,
+)
+def d01_exact_dup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content digest, keeping the
+    min-id representative per group. The testdata has no exact dups,
+    so the corpus plants 50 (docs re-unioned under shifted ids) — the
+    op must find exactly those. At 100 TB only the digest shuffles
+    (text is projected away before the exchange)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        corpus.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "d02_shingle_jaccard",
+    """
+    WITH lists AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(l) >= 3
+             THEN list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+             ELSE [l[1]] END) AS shingle
+      FROM lists
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)
+    """,
+)
+def d02_shingle_jaccard(spark, sf_dir):
+    """N-gram Jaccard dedup, exact: 3-gram shingle sets, pairs with
+    J >= 0.3. Candidate pairs come from a shuffle-join on the shingle
+    (blocking key) — only docs sharing a shingle ever meet. The
+    threshold is the integer cross-product 10·|A∩B| >= 3·|A∪B|."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.col("i") * 10 >= 3 * (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>): MinHash over 3-gram shingles.
+
+    Hash family: xxhash64(seed=i) via per-i column expressions — all
+    JVM-side; the signature column is built by one groupBy(doc_id)
+    with n_hashes min() aggregates (map-side partials shrink the
+    shuffle to one row per doc)."""
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"h{i}:"), F.col("shingle")))).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket) — the LSH
+    candidate generator. Returns distinct (doc_a, doc_b)."""
+    n_hashes = N_HASHES
+    rows_per_band = n_hashes // n_bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register("d03_minhash_lsh")  # Spark-only: xxhash64 has no DuckDB equivalent
+def d03_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
+    join). The scale path for d02: candidates are O(collisions), not
+    O(n²); verified against exact Jaccard in tests/test_dedup.py."""
+    docs = load(spark, sf_dir, "documents")
+    return lsh_candidates(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+@register("d04_simhash")  # Spark-only: custom bit mixing, pytest-validated
+def d04_simhash(spark, sf_dir):
+    """64-bit SimHash per document via an Arrow-vectorized pandas UDF
+    (token-hash bit voting). Near-dup = small hamming distance;
+    properties tested in tests/test_dedup.py."""
+    from ..functions.text import simhash64_udf
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )

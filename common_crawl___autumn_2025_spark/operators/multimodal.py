@@ -1,0 +1,176 @@
+"""Multimodal record operators: decode / verify / feature-extract over
+the canonical image+caption record table (``input_hint`` schema).
+
+The records are engine-generated (deterministic, seeded) because the
+driver testdata has no binary column; every operator here is
+rows-only for the oracle harness (binary payloads are not
+SQL-expressible) and is additionally pytest-asserted.
+
+Decode for png/ppm is REAL (own codecs). Other modalities (jpeg,
+audio, video frame-sampling) are stubbed behind NotImplementedError
+with the Spark-side plumbing — schema, partitioning, Arrow batch
+shape — fully in place, as the environment ships no media libraries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .. import synthetic as syn
+from ..codecs import decode_image, phash64, psnr
+from ..plans import register
+
+N_RECORDS = 256
+
+DECODE_SCHEMA = (
+    "image_id string, w int, h int, fmt string, decode_ok boolean, "
+    "psnr_db double, phash_match boolean, caption_tokens int"
+)
+
+
+def decode_verify(records):
+    """records DF -> per-row decode verification (mapInPandas)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(bytes(row.bytes), row.fmt)
+                    ok = px.shape == (row.h, row.w, 3)
+                    p = psnr(px, px)
+                    out.append(
+                        {
+                            "image_id": row.image_id,
+                            "w": row.w,
+                            "h": row.h,
+                            "fmt": row.fmt,
+                            "decode_ok": bool(ok),
+                            "psnr_db": float(min(p, 99.0)),
+                            "phash_match": bool(phash64(px) == row.phash),
+                            "caption_tokens": len((row.caption or "").split()),
+                        }
+                    )
+                except NotImplementedError:
+                    out.append(
+                        {
+                            "image_id": row.image_id,
+                            "w": row.w,
+                            "h": row.h,
+                            "fmt": row.fmt,
+                            "decode_ok": False,
+                            "psnr_db": 0.0,
+                            "phash_match": False,
+                            "caption_tokens": len((row.caption or "").split()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return records.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+@register("m01_records_decode_verify")  # rows-only: binary payloads
+def m01_records_decode_verify(spark, sf_dir):
+    """Generate the canonical record table distributively, decode every
+    payload, verify shape/phash — the per-row invariant pipeline."""
+    records = syn.records_df(spark, N_RECORDS, seed=42)
+    return decode_verify(records).orderBy("image_id")
+
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "contrast double, thumb_hash long"
+)
+
+
+@register("m02_image_features")  # rows-only: binary payloads
+def m02_image_features(spark, sf_dir):
+    """Feature extraction: per-channel means, contrast, 8x8 thumbnail
+    hash — the decode→feature stage of a multimodal pipeline (resize
+    = block-mean; real, not stubbed)."""
+    records = syn.records_df(spark, N_RECORDS, seed=42)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = decode_image(bytes(row.bytes), row.fmt).astype(np.float64)
+                out.append(
+                    {
+                        "image_id": row.image_id,
+                        "mean_r": round(float(px[:, :, 0].mean()), 4),
+                        "mean_g": round(float(px[:, :, 1].mean()), 4),
+                        "mean_b": round(float(px[:, :, 2].mean()), 4),
+                        "contrast": round(float(px.std()), 4),
+                        "thumb_hash": phash64(px.astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return records.mapInPandas(run, schema=FEATURE_SCHEMA).orderBy("image_id")
+
+
+@register("m03_phash_near_dup")  # rows-only
+def m03_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate candidates: band the 64-bit
+    phash into four 16-bit keys (any-band-equal blocking — Hamming
+    ≤ distance guarantee analog of LSH), verify with exact popcount.
+    All JVM-side bit arithmetic."""
+    records = syn.records_df(spark, N_RECORDS, seed=42).select("image_id", "phash")
+    bands = records.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 16)
+    )
+    return pairs.orderBy("img_a", "img_b")
+
+
+@register("m04_modality_stub")  # rows-only
+def m04_modality_stub(spark, sf_dir):
+    """Unsupported-modality path: jpeg/audio/video rows flow through
+    the same decode plumbing and come back flagged, never crashing
+    the job (NotImplementedError is caught per row). Real decoders
+    drop in by extending codecs.decode_image."""
+    records = syn.records_df(spark, 32, seed=7).withColumn(
+        "fmt",
+        F.when(F.col("phash") % 3 == 0, F.lit("jpeg")).otherwise(F.col("fmt")),
+    )
+    return (
+        decode_verify(records)
+        .groupBy("fmt", "decode_ok")
+        .agg(F.count("*").alias("n"))
+        .orderBy("fmt", "decode_ok")
+    )

@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors).
+
+- brute-force cosine top-k — oracle-checked (computed in double on
+  both sides, rounded to 6 dp before ranking);
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path;
+  Spark-only, recall-vs-bruteforce asserted in tests;
+- embedding-cosine near-duplicate pairs — oracle-checked.
+
+Scale shape: brute force is O(Q·N) with the query side broadcast —
+right up to a few thousand queries; the ANN path shuffles once on
+the bucket id and compares only within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans import load, register
+
+N_QUERIES = 5
+TOP_K = 5
+N_PLANES = 8
+N_TABLES = 6
+ANN_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS hit_id,
+             round(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS cosine
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, hit_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, hit_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+""".format(nq=N_QUERIES, k=TOP_K)
+
+
+@register("v01_cosine_topk_bruteforce", _COSINE_ORACLE)
+def v01_cosine_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: queries (small side) broadcast against
+    the full corpus; per-query top-k via ranking window. Dot products
+    are JVM-side `aggregate`/`zip_with` in double — no Python."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("hit_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("hit_id"))
+        .select(
+            "query_id",
+            "hit_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("hit_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "hit_id", "cosine")
+    )
+
+
+@register(
+    "v02_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.95
+    """,
+)
+def v02_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked on `label`
+    (cluster id) so the pair space is per-block, not global."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        cosine_col(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+    )
+
+
+def hyperplanes(
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    seed: int = ANN_SEED,
+) -> np.ndarray:
+    """(n_tables, n_planes, dim) random hyperplane stack."""
+    g = np.random.Generator(np.random.PCG64(seed))
+    return g.normal(size=(n_tables, n_planes, dim))
+
+
+def with_lsh_buckets(
+    emb: DataFrame, planes: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: one (table, bucket) row per
+    input row per table. Signatures computed by an Arrow-vectorized
+    pandas UDF (one matmul per batch per table); candidate pairs are
+    rows sharing any (table, bucket)."""
+    from pyspark.sql import types as T
+
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ flat.T) > 0  # (n, tables*planes)
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        codes = (signs @ weights).astype(np.int32)  # (n, tables)
+        return pd.Series(list(codes))
+
+    with_codes = emb.withColumn("buckets", buckets_udf(F.col(vec_col)))
+    return with_codes.select(
+        *emb.columns, F.posexplode("buckets").alias("table", "bucket")
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = any-table bucket
+    collision; exact cosine re-rank on candidates only. One shuffle
+    keyed by (table, bucket), never all-pairs."""
+    b_corpus = with_lsh_buckets(emb, planes).select(
+        F.col(id_col).alias("hit_id"),
+        F.col("embedding").alias("cv"),
+        "table",
+        "bucket",
+    )
+    b_query = with_lsh_buckets(queries, planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        b_corpus.join(b_query, on=["table", "bucket"])
+        .where(F.col("query_id") != F.col("hit_id"))
+        .select("query_id", "hit_id", "qv", "cv")
+        .dropDuplicates(["query_id", "hit_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "hit_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("hit_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "hit_id", "cosine")
+    )
+
+
+@register("v03_ann_lsh_bucketed")  # Spark-only; recall asserted in tests
+def v03_ann_lsh_bucketed(spark, sf_dir):
+    """ANN via multi-table random-hyperplane LSH — the 10^10-scale
+    variant of v01. tests/test_dedup_similarity.py measures recall ≈ 1
+    on planted near-duplicates (the property LSH actually promises)."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplanes(dim=64)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_topk(emb, q, planes)

@@ -1,0 +1,145 @@
+"""Text-analysis operators over ``documents``: language ID, quality
+scoring, token counting, fingerprinting — the per-document scoring
+stages of a training-data pipeline. All oracle-checked except the
+rolling fingerprint (custom hash, pytest-validated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans import load, register
+
+# marker-word heuristic language ID (n-gram heuristic family;
+# deterministic, works on any text — the reference seeds langdetect
+# for the same determinism goal, Common_Crawl_EDA.py:4-6)
+LANG_MARKERS = [
+    ("en", (" the ", " and ")),
+    ("de", (" der ", " und ")),
+    ("es", (" el ", " los ")),
+    ("fr", (" le ", " les ")),
+]
+
+
+@register(
+    "t01_language_id",
+    """
+    SELECT doc_id, lang,
+           CASE
+             WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ') THEN 'en'
+             WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+             WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
+             WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' les ') THEN 'fr'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def t01_language_id(spark, sf_dir):
+    """Marker-token language ID (first matching family wins)."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    expr = F.lit("und")
+    for lang, markers in reversed(LANG_MARKERS):
+        cond = None
+        for m in markers:
+            c = F.contains(padded, F.lit(m))
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, lang).otherwise(expr)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", expr.alias("predicted_lang")
+    )
+
+
+@register(
+    "t02_quality_score",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 10
+                     < length(text)
+                THEN TRUE ELSE FALSE END AS passes_quality
+    FROM documents
+    """,
+)
+def t02_quality_score(spark, sf_dir):
+    """Quality scoring: length, punctuation ratio, average word
+    length, and a pass/fail gate (the length/punct heuristics family;
+    reference analog: short-page filter, Visuals.py:131)."""
+    text = F.col("text")
+    n_words = F.size(F.split(text, " "))
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.length(text).cast("long").alias("n_chars_actual"),
+        F.round(n_punct * 1.0 / F.greatest(F.length(text), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.length(text).cast("double") / F.greatest(n_words, F.lit(1)), 4
+        ).alias("avg_word_len"),
+        (
+            n_words.between(20, 1000) & (n_punct * 10 < F.length(text))
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "t03_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def t03_token_count(spark, sf_dir):
+    """Token counting: whitespace split + a BPE-ish regex tokenizer
+    (letters / digits / single punctuation)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "t04_fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def t04_fingerprint_md5(spark, sf_dir):
+    """Normalized-content fingerprint: keep-alnum normalize (F3) then
+    digest — the canonical-form dedup key."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register("t05_rolling_fingerprint")  # custom hash — pytest-validated
+def t05_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint (Arrow UDF)."""
+    from ..functions.text import rolling_fingerprint_udf
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )

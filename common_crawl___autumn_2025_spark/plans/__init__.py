@@ -1,0 +1,41 @@
+"""Query catalog registry.
+
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+operators) registers here as a named query: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, an
+equivalent DuckDB oracle SQL string. ``__spark_entry__.py`` exposes
+the registry to the driver's correctness harness.
+
+Cross-dialect discipline (Spark vs DuckDB must hash-match):
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, 4)`` on both sides (the inputs
+  carry 2 decimals, so rounding is far outside the accumulated
+  FP-summation error of either engine);
+- DuckDB ``sum(BIGINT)`` yields HUGEINT → always ``CAST(... AS
+  BIGINT)`` in oracle SQL; counts are BIGINT in both;
+- thresholds on ratios use cross-multiplied *integer* comparisons
+  (no FP in membership predicates);
+- every query with a LIMIT carries a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark, sf_dir: str, table: str):
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,136 @@
+"""Properties of the Spark-only (non-SQL-oracle) operators: MinHash
+LSH, SimHash, random-hyperplane ANN, rolling fingerprints."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from common_crawl___autumn_2025_spark.functions.text import (
+    rolling_fingerprint,
+    simhash64,
+)
+from common_crawl___autumn_2025_spark.operators.dedup import (
+    lsh_candidates,
+    minhash_signatures,
+)
+from common_crawl___autumn_2025_spark.operators.similarity import (
+    ann_topk,
+    hyperplanes,
+)
+
+
+def _vocab_doc(rng, n=40):
+    return " ".join(f"tok{int(i)}" for i in rng.integers(0, 500, size=n))
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """60 random docs + 10 planted near-duplicates (1 token changed)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = []
+    for i in range(60):
+        rows.append((i, _vocab_doc(rng)))
+    for i in range(10):
+        toks = rows[i][1].split()
+        toks[5] = "MUTATED"
+        rows.append((1000 + i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard_pairs(rows, threshold):
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r[0]: shingles(r[1]) for r in rows}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_finds_planted_dups(spark, near_dup_docs):
+    rows = [(r.doc_id, r.text) for r in near_dup_docs.collect()]
+    truth = _exact_jaccard_pairs(rows, 0.8)
+    assert len(truth) >= 10  # the planted pairs
+    sigs = minhash_signatures(near_dup_docs)
+    cands = {
+        (r.doc_a, r.doc_b) for r in lsh_candidates(sigs).collect()
+    }
+    # LSH candidates must cover (essentially) all true near-dup pairs
+    missed = truth - cands
+    assert len(missed) == 0, f"LSH missed true pairs: {missed}"
+    # and not degenerate to all-pairs
+    n = near_dup_docs.count()
+    assert len(cands) < n * (n - 1) / 4
+
+
+def test_minhash_signature_similarity_estimates_jaccard(spark, near_dup_docs):
+    sigs = {r.doc_id: list(r.sig) for r in minhash_signatures(near_dup_docs).collect()}
+    # planted pair: high signature agreement; random pair: low
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])  # noqa: E731
+    assert agree(0, 1000) > 0.6
+    assert agree(0, 1) < 0.4
+
+
+def test_simhash_properties():
+    doc = " ".join(f"w{i}" for i in range(50))
+    one_off = " ".join(("XX" if i == 7 else f"w{i}") for i in range(50))
+    other = " ".join(f"z{i}" for i in range(50))
+    ham = lambda a, b: bin((simhash64(a) ^ simhash64(b)) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(doc, doc) == 0
+    assert ham(doc, one_off) <= 8
+    assert ham(doc, other) >= 16
+
+
+def test_ann_recall_on_planted_neighbors(spark):
+    """LSH ANN must retrieve planted near-duplicate vectors (cos≈1)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.normal(size=(80, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(80)]
+    # 10 queries = tiny perturbations of vectors 0..9
+    queries = []
+    for i in range(10):
+        v = base[i] + rng.normal(scale=0.01, size=64).astype("float32")
+        queries.append((100 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    planes = hyperplanes(dim=64)
+    got = ann_topk(emb, qdf, planes, k=1)
+    top1 = {r.query_id: r.hit_id for r in got.collect()}
+    hits = sum(1 for i in range(10) if top1.get(100 + i) == i)
+    assert hits >= 9, f"ANN missed planted neighbors: {top1}"
+
+
+def test_rolling_fingerprint_properties():
+    a = "the quick brown fox jumps over the lazy dog"
+    assert rolling_fingerprint(a) == rolling_fingerprint(a)
+    # min-window sketch: appending text can only lower the min -> the
+    # fingerprint of a superstring is <= (sketch robustness property)
+    assert rolling_fingerprint(a + " x") <= rolling_fingerprint(a)
+    # disjoint content -> different fingerprint
+    assert rolling_fingerprint(a) != rolling_fingerprint("zzz yyy xxx www vvv uuu")
+    assert rolling_fingerprint("") >= 0
+
+
+def test_exact_dup_operator_finds_planted(spark, sf_dir):
+    from common_crawl___autumn_2025_spark.plans.catalog import QUERIES
+
+    out = QUERIES["d01_exact_dup"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.n_copies == 2 for r in rows)
+
+
+def test_phash_near_dup_self_consistency(spark, sf_dir):
+    from common_crawl___autumn_2025_spark.plans.catalog import QUERIES
+
+    out = QUERIES["m03_phash_near_dup"](spark, sf_dir).collect()
+    for r in out:
+        assert r.hamming <= 16
+        assert r.img_a < r.img_b
