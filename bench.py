@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a crawl
+throughput round, and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is fully materialized via the noop writer (no driver
+collect, no column pruning shortcut). A warmup query absorbs JVM/JIT
+startup so numbers reflect steady-state plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from common_crawl___autumn_2025_spark.session import get_spark  # noqa: E402
+from common_crawl___autumn_2025_spark.plans.catalog import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "a02_sum_avg_pricing",        # flagship agg (TPC-H Q1 shape)
+    "j01_left_join_padded_key",   # broadcast left join, normalized keys
+    "j03_fuzzy_similarity_join",  # blocked levenshtein theta join
+    "j07_equi_join_derived_key",  # multi-hop equi join
+    "w02_topk_per_group",         # ranking window
+    "o01_global_sort_topk",       # TakeOrderedAndProject
+    "d01_exact_dup",              # hash dedup
+    "d02_shingle_jaccard",        # n-gram Jaccard dedup
+    "d03_minhash_lsh",            # MinHash+LSH candidates
+    "v01_cosine_topk_bruteforce", # dense similarity top-k
+    "v03_ann_lsh_bucketed",       # LSH ANN
+    "t02_quality_score",          # text quality scan
+    "st01_tumbling_window",       # windowed stream-shape agg
+    "m01_records_decode_verify",  # image decode/verify pipeline
+]
+
+
+def bench_crawl(spark, partitions: int) -> dict:
+    """One crawl config fetched end-to-end; URLs/sec over the run."""
+    import shutil
+    import tempfile
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.crawl.frontier import (
+        CrawlEngine,
+        CrawlSpec,
+    )
+
+    spec = CrawlSpec(
+        web=syn.WebConfig(n_hosts=int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "150"))),
+        max_depth=1,
+        max_rounds=3,
+    )
+    seeds = syn.seed_urls(spec.web, spec.web.n_hosts)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.time()
+        eng = CrawlEngine(spark, spec, root, partitions=partitions)
+        summary = eng.run(seeds)
+        elapsed = time.time() - t0
+        fetched = sum(r["fetched"] for r in summary["rounds"])
+        return {
+            "sec": round(elapsed, 3),
+            "fetched": fetched,
+            "urls_per_sec": round(fetched / elapsed, 2),
+            "rounds": len(summary["rounds"]),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    # warmup: JVM/codegen/Arrow channels
+    QUERIES["a01_count_star"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = bench_crawl(spark, partitions=cpus)
+    timings["crawl_3rounds"] = crawl["sec"]
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

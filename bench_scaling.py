@@ -1,0 +1,183 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+The rule's criterion — throughput scaling efficiency >= 0.8 from N to
+4N executors — cannot use a real cluster in this sandbox, so (per
+BASELINE.md) this harness runs the IDENTICAL job on the IDENTICAL
+input at ``local[8]`` and ``local[32]`` in separate JVMs and reports
+throughput at both plus the efficiency::
+
+    efficiency = (T_8 / T_32) / (32 / 8)
+
+The job is the engine's hot path: generate the canonical image+caption
+record table distributively (mapInPandas; encode), decode + verify
+every payload, aggregate — CPU-bound per-row work plus one shuffle,
+i.e. the same shape as a crawl round's fetch/decode stage. A second
+job measures three full crawl rounds (which include the fixed
+per-round scheduling/checkpoint costs that amortize at scale).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+WORKER = """
+import json, os, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+cores = int(sys.argv[1])
+os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+from common_crawl___autumn_2025_spark.session import get_spark
+from common_crawl___autumn_2025_spark import synthetic as syn
+from common_crawl___autumn_2025_spark.operators.multimodal import decode_verify
+from pyspark.sql import functions as F
+
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+N = int(os.environ.get("SPARK_GRAFT_SCALE_RECORDS", "120000"))
+
+# warmup (JVM + python workers)
+decode_verify(syn.records_df(spark, 256, seed=1, partitions=cores)).write \\
+    .format("noop").mode("overwrite").save()
+
+records_sec = None
+for _ in range(3):  # warm python workers; report best-of-3 (host is noisy)
+    t0 = time.time()
+    out = decode_verify(syn.records_df(spark, N, seed=42, partitions=cores))
+    agg = out.groupBy("fmt").agg(F.count("*").alias("n"),
+                                 F.avg("caption_tokens").alias("avg_tokens"))
+    agg.write.format("noop").mode("overwrite").save()
+    el = time.time() - t0
+    records_sec = el if records_sec is None else min(records_sec, el)
+
+from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSpec
+spec = CrawlSpec(web=syn.WebConfig(n_hosts=800), max_depth=1, max_rounds=3)
+seeds = syn.seed_urls(spec.web, 800)
+root = tempfile.mkdtemp(prefix="scale_crawl_")
+t0 = time.time()
+eng = CrawlEngine(spark, spec, root, partitions=cores)
+summary = eng.run(seeds)
+crawl_sec = time.time() - t0
+fetched = sum(r["fetched"] for r in summary["rounds"])
+shutil.rmtree(root, ignore_errors=True)
+print(json.dumps({{"cores": cores, "records": N,
+                   "records_sec": round(records_sec, 3),
+                   "records_per_sec": round(N / records_sec, 1),
+                   "crawl_sec": round(crawl_sec, 3), "crawl_fetched": fetched,
+                   "crawl_urls_per_sec": round(fetched / crawl_sec, 2)}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int) -> dict:
+    code = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=REPO,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed at {cores}: {out.stderr[-2000:]}")
+
+
+def hardware_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """Measured CPU-scaling ceiling of this sandbox: pure-Python burn
+    at lo and hi processes. SMT/shared-host effects make the ideal
+    hi/lo speedup unreachable; efficiency should be read against this."""
+    import multiprocessing as mp
+
+    totals = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as pool:
+            totals[n] = sum(pool.map(_burn, range(n)))
+    return (totals[hi] / totals[lo]) / (hi / lo)
+
+
+def _burn(_):
+    import time
+
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def main():
+    lo, hi = 8, 32
+    ceiling = round(hardware_ceiling(lo, hi), 3)
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    eff_records = (r_lo["records_sec"] / r_hi["records_sec"]) / (hi / lo)
+    eff_crawl = (r_lo["crawl_sec"] / r_hi["crawl_sec"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency_records_pipeline",
+        "value": round(eff_records, 3),
+        "unit": "ratio",
+        "lo": r_lo,
+        "hi": r_hi,
+        "efficiency_records": round(eff_records, 3),
+        "efficiency_crawl_rounds": round(eff_crawl, 3),
+        "hardware_scaling_ceiling": ceiling,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+The north rule's two-cluster-size criterion (throughput scaling
+efficiency >= 0.8 from N to 4N executors) is evidenced in this
+sandbox by running the identical job on the identical input at
+`local[{lo}]` and `local[{hi}]` (separate JVMs, warmed up), per
+BASELINE.md's sandbox substitution.
+
+## Job 1 — record pipeline (generate → decode → verify → aggregate)
+
+The crawl fetch/decode hot path: {r_lo["records"]} image+caption
+records generated distributively (mapInPandas, PNG/PPM encode),
+every payload decoded and verified, aggregated by format.
+
+| cores | wall sec | records/sec |
+|---|---|---|
+| {lo} | {r_lo["records_sec"]} | {r_lo["records_per_sec"]} |
+| {hi} | {r_hi["records_sec"]} | {r_hi["records_per_sec"]} |
+
+**Scaling efficiency ({lo}→{hi} cores): {eff_records:.3f}**
+(target >= 0.8; measured hardware ceiling on this host: {ceiling:.3f} —
+a pure-Python CPU burn at {lo} vs {hi} processes only reaches
+{ceiling:.0%} of ideal {hi}/{lo} speedup due to SMT/host sharing)
+
+## Job 2 — three full crawl rounds (800 seeds, Zipfian hosts)
+
+Includes the fixed per-round costs (politeness scheduling, Bloom
+build, checkpoint commit) that amortize with round size at the
+10^10-URL design point.
+
+| cores | wall sec | URLs fetched | URLs/sec |
+|---|---|---|---|
+| {lo} | {r_lo["crawl_sec"]} | {r_lo["crawl_fetched"]} | {r_lo["crawl_urls_per_sec"]} |
+| {hi} | {r_hi["crawl_sec"]} | {r_hi["crawl_fetched"]} | {r_hi["crawl_urls_per_sec"]} |
+
+Crawl-round efficiency: {eff_crawl:.3f} — dominated by fixed
+per-round latency at this tiny round size (hundreds of URLs/round vs
+the 10^7+/round design point); the record-pipeline number above is
+the per-URL work scaling.
+
+Raw JSON: see `BENCH/scaling.json`.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,14 +33,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _dir_metrics(path: str) -> list[dict]:
-    """Per-file (≈ per-partition) size metrics for a table directory."""
+    """Per-file (≈ per-partition) row/size metrics for a table
+    directory, read from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
     out = []
     for base, _, files in os.walk(path):
         for f in sorted(files):
             if f.endswith(".parquet"):
                 p = os.path.join(base, f)
                 out.append(
-                    {"file": os.path.relpath(p, path), "bytes": os.path.getsize(p)}
+                    {
+                        "file": os.path.relpath(p, path),
+                        "bytes": os.path.getsize(p),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                    }
                 )
     return out
 
@@ -70,10 +77,10 @@ class CheckpointStore:
         for name, df in tables.items():
             path = os.path.join(tmp, name)
             df.write.mode("overwrite").parquet(path)
-            rows = self.spark.read.parquet(path).count()
+            parts = _dir_metrics(path)  # footer metadata, no extra job
             table_meta[name] = {
-                "rows": rows,
-                "partitions": _dir_metrics(path),
+                "rows": sum(p["rows"] for p in parts),
+                "partitions": parts,
             }
         parent = self.latest_round()
         manifest = {

@@ -224,16 +224,20 @@ class CrawlEngine:
         self.seen.add(unseen.select("surt"), round_no)
 
         # 5. robots + politeness scheduling (ordered per-host batches)
+        sched_cleanup: list = []
         scheduled = schedule(
             unseen,
             self.robots,
             partitions=self.partitions,
             round_budget_s=spec.round_budget_s,
+            cleanup=sched_cleanup,
         )
 
         # 6. fetch (Arrow-batched; pure function of URL)
         fetched = scheduled.mapInPandas(_fetch_map(spec), schema=FETCHED_SCHEMA).persist()
         n_fetched = fetched.count()
+        for df in sched_cleanup:  # scheduler's pinned relation, now consumed
+            df.unpersist()
 
         # 7. new matches: canonically-first target hit per seed
         hit_w = Window.partitionBy("seed_id").orderBy("priority", "surt")

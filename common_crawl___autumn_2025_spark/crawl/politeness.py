@@ -46,8 +46,23 @@ def with_host_sequence(
     partitions: int | None = None,
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("priority", "surt"),
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """Add ``seq`` (1-based per-host rank in canonical order)."""
+    """Add ``seq`` (1-based per-host rank in canonical order).
+
+    CORRECTNESS NOTE: ``repartitionByRange`` samples its boundaries
+    per *query execution* — two plans over the same lineage can land
+    rows in different partitions. The local-rank relation is therefore
+    persisted so that the offsets (broadcast) branch and the main
+    branch read the SAME materialization; without this, pids diverge
+    between branches and the offsets join silently drops rows
+    (observed at 800 hosts / 32 partitions). On a cluster, replace
+    the persist with a reliable checkpoint if executors can be lost.
+    The caller unpersists via the ``cleanup`` list after the result
+    is materialized.
+    """
+    from pyspark import StorageLevel
+
     parts = partitions or frontier.sparkSession.sparkContext.defaultParallelism
     order = [host_col, *order_cols]
     ranged = (
@@ -57,7 +72,11 @@ def with_host_sequence(
     local_w = Window.partitionBy("__pid", host_col).orderBy(
         *[F.col(c) for c in order_cols]
     )
-    local = ranged.withColumn("__local_seq", F.row_number().over(local_w))
+    local = ranged.withColumn("__local_seq", F.row_number().over(local_w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if cleanup is not None:
+        cleanup.append(local)
     # tiny per-(pid, host) count table -> cumulative offsets
     counts = local.groupBy("__pid", host_col).agg(F.count("*").alias("__cnt"))
     cum_w = (
@@ -81,6 +100,7 @@ def schedule(
     partitions: int | None = None,
     round_budget_s: float = 60.0,
     default_delay_s: float = 1.0,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Politeness-schedule a frontier against a robots config table.
 
@@ -100,7 +120,7 @@ def schedule(
             lambda d: F.startswith(F.coalesce(path, F.lit("/")), d),
         )
     )
-    seq = with_host_sequence(allowed, partitions=partitions)
+    seq = with_host_sequence(allowed, partitions=partitions, cleanup=cleanup)
     delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay_s))
     return (
         seq.withColumn("fetch_ts_offset", (F.col("seq") - 1) * delay)

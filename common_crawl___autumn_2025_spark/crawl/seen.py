@@ -128,10 +128,13 @@ class SeenSet:
             .where(F.col("surt").isNotNull() & (F.col("surt") != ""))
             .distinct()
             .mapInPandas(shard_rows, schema=SEEN_SCHEMA)
+            .persist()
         )
+        n_added = delta.count()  # materializes the cache once
         delta.write.mode("append").partitionBy("shard").parquet(self.exact_path)
 
         # per-shard Bloom delta bitmaps, built where the data lives
+        # (from the cached delta — no re-read of the exact table)
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
             bitmap = np.zeros(bits, dtype=bool)
             for s in pdf["surt"]:
@@ -140,11 +143,8 @@ class SeenSet:
                 {"shard": [int(key[0])], "packed": [np.packbits(bitmap).tobytes()]}
             )
 
-        exact_delta = self.spark.read.parquet(self.exact_path).where(
-            F.col("first_round") == round_no
-        )
         packed = (
-            exact_delta.groupBy("shard")
+            delta.groupBy("shard")
             .applyInPandas(build_bitmap, schema="shard int, packed binary")
             .collect()
         )
@@ -157,7 +157,8 @@ class SeenSet:
                 new = np.load(f) | new
             np.save(f, new)
         self._bitmaps = None  # invalidate broadcast cache
-        return exact_delta.count()
+        delta.unpersist()
+        return n_added
 
     def rollback(self, last_good_round: int) -> None:
         """Drop seen rows from rounds after ``last_good_round`` and

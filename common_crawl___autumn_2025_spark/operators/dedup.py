@@ -27,10 +27,14 @@ N_BANDS = 8            # LSH bands (rows per band = 4)
 SHINGLE = 3
 
 
-def _shingles(col: str = "text"):
-    """3-token shingles as strings, JVM-side: split → sequence →
-    transform. No Python."""
-    toks = F.split(F.col(col), " ")
+def _shingles(toks_col: str = "toks"):
+    """3-token shingles as strings, JVM-side: sequence → transform.
+
+    IMPORTANT: takes a *materialized* token-array column, never an
+    inline split() expression — higher-order functions run
+    interpreted, so an inline expression would be re-evaluated for
+    every element access (measured 10x slowdown at sf0.1)."""
+    toks = F.col(toks_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
     return F.when(
@@ -42,6 +46,15 @@ def _shingles(col: str = "text"):
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks[0])))
+
+
+def _with_shingle_arr(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + materialized distinct-shingle array (+ its size)."""
+    return (
+        docs.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("arr", F.array_distinct(_shingles("toks")))
+        .select("doc_id", F.size("arr").alias("sz"), "arr")
+    )
 
 
 @register(
@@ -114,13 +127,24 @@ def d02_shingle_jaccard(spark, sf_dir):
     J >= 0.3. Candidate pairs come from a shuffle-join on the shingle
     (blocking key) — only docs sharing a shingle ever meet. The
     threshold is the integer cross-product 10·|A∩B| >= 3·|A∪B|."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    # small parquet files arrive as one input split; the shingle
+    # explode multiplies rows ~100x, so spread BEFORE exploding —
+    # at 100 TB this is the difference between 1 task and N
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # carry the set size through the explode: the pair aggregation
+    # then needs no extra size joins (one shuffle on the shingle key,
+    # one on the pair key — nothing else)
+    sh = _with_shingle_arr(docs).select(
+        "doc_id", "sz", F.explode("arr").alias("shingle")
+    )
+    # the exploded relation is ~50x the parquet row-count the planner
+    # sees, so Catalyst would wrongly broadcast it — force a shuffle
+    # hash join on the shingle key (both sides are the same size; at
+    # scale a sort-merge is equally fine, broadcast never is)
     x = sh.alias("x")
-    y = sh.alias("y")
+    y = sh.hint("shuffle_hash").alias("y")
     inter = (
         x.join(
             y,
@@ -130,18 +154,15 @@ def d02_shingle_jaccard(spark, sf_dir):
         .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(
-            F.col("i") * 10 >= 3 * (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+        .agg(
+            F.count("*").alias("i"),
+            F.first(F.col("x.sz")).alias("sa"),
+            F.first(F.col("y.sz")).alias("sb"),
         )
-        .select("doc_a", "doc_b")
     )
+    return inter.where(
+        F.col("i") * 10 >= 3 * (F.col("sa") + F.col("sb") - F.col("i"))
+    ).select("doc_a", "doc_b")
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -151,8 +172,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     JVM-side; the signature column is built by one groupBy(doc_id)
     with n_hashes min() aggregates (map-side partials shrink the
     shuffle to one row per doc)."""
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = _with_shingle_arr(docs).select(
+        "doc_id", F.explode("arr").alias("shingle")
     )
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -228,6 +252,7 @@ def d04_simhash(spark, sf_dir):
 
     return (
         load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
         .orderBy("doc_id")
     )

@@ -140,6 +140,7 @@ def t05_rolling_fingerprint(spark, sf_dir):
 
     return (
         load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fp"))
         .orderBy("doc_id")
     )

@@ -318,8 +318,11 @@ def j03_fuzzy_similarity_join(spark, sf_dir):
     integer comparison — no FP in the predicate. Blocking on p_brand
     keeps the theta-join quadratic blow-up per-block only."""
     part = load(spark, sf_dir, "part")
-    a = part.alias("a")
-    b = part.alias("b")
+    # probe side spread across all cores (single small parquet file =
+    # one input split otherwise); build side broadcast -> the brand
+    # equi-key becomes a BroadcastHashJoin with the ratio as residual
+    a = part.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(part.alias("b"))
     la = F.length("a.p_name")
     lb = F.length("b.p_name")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
