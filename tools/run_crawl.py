@@ -1,0 +1,76 @@
+"""spark-submit entry point for the crawl engine (north rule: "runs
+via spark-submit --py-files on multi-executor clusters").
+
+Local smoke:
+    python tools/run_crawl.py --hosts 100 --seeds 100 --rounds 3 \\
+        --checkpoint /tmp/crawl_ckpt
+
+Cluster:
+    zip -r engine.zip common_crawl___autumn_2025_spark
+    spark-submit --py-files engine.zip tools/run_crawl.py \\
+        --hosts 100000 --seeds 100000 --rounds 10 \\
+        --checkpoint hdfs:///crawl/ckpt --partitions 4096
+
+(SPARK_GRAFT_NO_LOCAL_MASTER=1 makes the session factory defer to
+spark-submit's --master.) Resume after interruption with --resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Run crawl rounds")
+    ap.add_argument("--hosts", type=int, default=100)
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.crawl.frontier import (
+        CrawlEngine,
+        CrawlSpec,
+    )
+    from common_crawl___autumn_2025_spark.session import get_spark
+
+    spark = get_spark("crawl_submit")
+    spec = CrawlSpec(
+        web=syn.WebConfig(seed=args.seed, n_hosts=args.hosts),
+        max_depth=args.depth,
+        max_rounds=args.rounds,
+    )
+    seeds = syn.seed_urls(spec.web, args.seeds)
+    t0 = time.time()
+    engine = CrawlEngine(spark, spec, args.checkpoint, partitions=args.partitions)
+    summary = engine.run(seeds, resume=args.resume)
+    elapsed = time.time() - t0
+    fetched = sum(r["fetched"] for r in summary["rounds"])
+    print(
+        json.dumps(
+            {
+                "rounds": summary["rounds"],
+                "config_hash": summary["config_hash"],
+                "elapsed_sec": round(elapsed, 2),
+                "fetched": fetched,
+                "urls_per_sec": round(fetched / elapsed, 2) if elapsed else None,
+                "checkpoint": args.checkpoint,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
