@@ -61,6 +61,10 @@ class CheckpointStore:
     def _round_dir(self, round_no: int) -> str:
         return os.path.join(self.root, f"round={round_no}")
 
+    # metric name -> table whose committed row count supplies it
+    # (footer-derived — avoids one Spark count job per metric per round)
+    ROW_METRICS = {"fetched": "fetch_log", "matches_total": "matches"}
+
     def commit(
         self,
         round_no: int,
@@ -82,6 +86,10 @@ class CheckpointStore:
                 "rows": sum(p["rows"] for p in parts),
                 "partitions": parts,
             }
+        metrics = dict(metrics)
+        for metric, table in self.ROW_METRICS.items():
+            if metric not in metrics and table in table_meta:
+                metrics[metric] = table_meta[table]["rows"]
         parent = self.latest_round()
         manifest = {
             "round": round_no,

@@ -82,8 +82,14 @@ class CrawlSpec:
     seen_bits_per_shard: int = 1 << 20
 
     def config_hash(self) -> str:
+        """Hash of the fields that define crawl SEMANTICS / state
+        layout. ``max_rounds`` is an execution budget, not semantics —
+        resuming a 1-round run with a larger budget is legal and
+        common, so it stays out of the hash."""
+        d = asdict(self)
+        d.pop("max_rounds")
         return hashlib.blake2b(
-            json.dumps(asdict(self), sort_keys=True, default=str).encode(),
+            json.dumps(d, sort_keys=True, default=str).encode(),
             digest_size=8,
         ).hexdigest()
 
@@ -191,11 +197,20 @@ class CrawlEngine:
     # -- one round -------------------------------------------------------
 
     def run_round(
-        self, round_no: int, frontier: DataFrame, matches: DataFrame
+        self,
+        round_no: int,
+        frontier: DataFrame,
+        matches: DataFrame,
+        frontier_count: int | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:
-        """Returns (next_frontier, fetched, new_matches_cum, records, metrics)."""
+        """Returns (next_frontier, fetched, new_matches_cum, records,
+        metrics). Job economy: the only counted relations are the
+        deduped-unseen delta (inside ``seen.add``, on cached data);
+        fetch/match totals come from checkpoint parquet footers, and
+        ``frontier_count`` is passed from the previous round's
+        manifest (or len(seeds)) instead of re-counting."""
         spec = self.spec
-        n_frontier = frontier.count()
+        n_frontier = frontier.count() if frontier_count is None else frontier_count
 
         # 1. in-round dedup by surt, canonical attribution tiebreak
         dedup_w = Window.partitionBy("surt").orderBy(
@@ -218,10 +233,11 @@ class CrawlEngine:
                 how="left_anti",
             )
         unseen = unseen.persist()
-        n_attempted = unseen.count()
 
-        # 4. everything surviving counts as attempted -> seen
-        self.seen.add(unseen.select("surt"), round_no)
+        # 4. everything surviving counts as attempted -> seen (this
+        # also materializes the unseen cache and returns its size —
+        # surts are unique post-dedup, so added == attempted)
+        n_attempted = self.seen.add(unseen.select("surt"), round_no)
 
         # 5. robots + politeness scheduling (ordered per-host batches)
         sched_cleanup: list = []
@@ -233,11 +249,11 @@ class CrawlEngine:
             cleanup=sched_cleanup,
         )
 
-        # 6. fetch (Arrow-batched; pure function of URL)
+        # 6. fetch (Arrow-batched; pure function of URL). No count here
+        # — the first checkpoint write materializes the cache; the
+        # scheduler's pinned relation is released after commit (run()).
         fetched = scheduled.mapInPandas(_fetch_map(spec), schema=FETCHED_SCHEMA).persist()
-        n_fetched = fetched.count()
-        for df in sched_cleanup:  # scheduler's pinned relation, now consumed
-            df.unpersist()
+        self._pending_cleanup = sched_cleanup
 
         # 7. new matches: canonically-first target hit per seed
         hit_w = Window.partitionBy("seed_id").orderBy("priority", "surt")
@@ -257,7 +273,6 @@ class CrawlEngine:
                 how="left_anti",
             )
         matches_cum = matches.unionByName(new_matches).persist()
-        n_matches = matches_cum.count()
 
         # 8. link expansion from unsatisfied seeds' 200-pages
         expandable = fetched.where(
@@ -309,8 +324,8 @@ class CrawlEngine:
         metrics = {
             "frontier_in": n_frontier,
             "deduped_attempted": n_attempted,
-            "fetched": n_fetched,
-            "matches_total": n_matches,
+            # fetched / matches_total are filled by CheckpointStore.commit
+            # from the committed tables' parquet footers
         }
         unseen.unpersist()
         return next_frontier, fetched, matches_cum, records, metrics
@@ -335,11 +350,16 @@ class CrawlEngine:
             self.seen.rollback(latest)
 
         summary = {"rounds": [], "config_hash": spec.config_hash()}
+        frontier_count = len(seeds) if start_round == 0 else None
+        if start_round > 0:
+            frontier_count = self.store.read_manifest(start_round - 1)["tables"][
+                "frontier"
+            ]["rows"]
         for round_no in range(start_round, spec.max_rounds):
-            if frontier.isEmpty():
+            if frontier_count == 0:
                 break
             nxt, fetched, matches, records, metrics = self.run_round(
-                round_no, frontier, matches
+                round_no, frontier, matches, frontier_count=frontier_count
             )
             fetch_log = fetched.drop("bytes", "hrefs", "caption")
             manifest = self.store.commit(
@@ -354,8 +374,13 @@ class CrawlEngine:
                 spec.config_hash(),
             )
             fetched.unpersist()
-            summary["rounds"].append({**metrics, "round": round_no,
+            for df in getattr(self, "_pending_cleanup", []):
+                df.unpersist()
+            self._pending_cleanup = []
+            summary["rounds"].append({**manifest["metrics"], "round": round_no,
                                       "snapshot_id": manifest["snapshot_id"]})
+            matches.unpersist()
             frontier = self.store.read_table(round_no, "frontier")
             matches = self.store.read_table(round_no, "matches")
+            frontier_count = manifest["tables"]["frontier"]["rows"]
         return summary

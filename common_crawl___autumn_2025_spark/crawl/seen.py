@@ -101,13 +101,15 @@ class SeenSet:
     def add(self, surts: DataFrame, round_no: int) -> int:
         """Union new surts into the exact table + Bloom shards.
 
-        ``surts`` must have a ``surt`` column (other columns are
-        ignored); callers pass rows already known-unseen, but the
-        method distincts defensively. Exact rows *append* as new
-        parquet files per shard partition (no rewrite of old data —
-        append-only snapshot, cf. checkpoints module); bitmaps
-        OR-merge per shard on the driver (tiny: bits/8 bytes each).
-        Returns rows added.
+        Job economy (this runs every round): ONE pass computes the
+        shard id AND the per-shard Bloom delta — the shard-partitioned
+        parquet append is the only full-data job; the tiny packed
+        bitmaps ride along in a second mapInPandas over the
+        already-shuffled partitions and are OR-merged on the driver
+        (bits/8 bytes per shard). The row count comes from the written
+        files' parquet footers — no count job. Layout is
+        ``shard=S/first_round=R`` so rollback is a filesystem delete
+        of ``first_round>R`` directories.
         """
         n_shards, bits, k = self.n_shards, self.bits, self.k
 
@@ -128,26 +130,39 @@ class SeenSet:
             .where(F.col("surt").isNotNull() & (F.col("surt") != ""))
             .distinct()
             .mapInPandas(shard_rows, schema=SEEN_SCHEMA)
-            .persist()
+            .repartition(n_shards, "shard")
         )
-        n_added = delta.count()  # materializes the cache once
-        delta.write.mode("append").partitionBy("shard").parquet(self.exact_path)
 
-        # per-shard Bloom delta bitmaps, built where the data lives
-        # (from the cached delta — no re-read of the exact table)
-        def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            bitmap = np.zeros(bits, dtype=bool)
-            for s in pdf["surt"]:
-                bitmap[bloom_positions(s, bits, k)] = True
-            return pd.DataFrame(
-                {"shard": [int(key[0])], "packed": [np.packbits(bitmap).tobytes()]}
-            )
+        def attach_bitmap(batches):
+            """Pass rows through; emit one extra bitmap row per shard
+            seen in this partition (surt NULL marks bitmap rows)."""
+            per_shard: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                for s in pdf["surt"]:
+                    bm = per_shard.setdefault(
+                        hash64(s) % n_shards, np.zeros(bits, dtype=bool)
+                    )
+                    bm[bloom_positions(s, bits, k)] = True
+                yield pdf.assign(packed=None)
+            rows = [
+                {"shard": shard, "surt": None, "first_round": round_no,
+                 "packed": np.packbits(bm).tobytes()}
+                for shard, bm in per_shard.items()
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
 
-        packed = (
-            delta.groupBy("shard")
-            .applyInPandas(build_bitmap, schema="shard int, packed binary")
-            .collect()
-        )
+        combined = delta.mapInPandas(
+            attach_bitmap, schema=SEEN_SCHEMA + ", packed binary"
+        ).persist()
+        packed = combined.where(F.col("surt").isNull()).select(
+            "shard", "packed"
+        ).collect()
+        combined.where(F.col("surt").isNotNull()).drop("packed").write.mode(
+            "append"
+        ).partitionBy("shard", "first_round").parquet(self.exact_path)
+        combined.unpersist()
+
         for row in packed:
             new = np.unpackbits(
                 np.frombuffer(row["packed"], dtype=np.uint8), count=bits
@@ -157,8 +172,20 @@ class SeenSet:
                 new = np.load(f) | new
             np.save(f, new)
         self._bitmaps = None  # invalidate broadcast cache
-        delta.unpersist()
-        return n_added
+        return self._round_rows(round_no)
+
+    def _round_rows(self, round_no: int) -> int:
+        """Rows written for a round, from parquet footers (no job)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for shard_dir in os.listdir(self.exact_path) if os.path.exists(self.exact_path) else []:
+            rd = os.path.join(self.exact_path, shard_dir, f"first_round={round_no}")
+            if os.path.isdir(rd):
+                for f in os.listdir(rd):
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(rd, f)).metadata.num_rows
+        return total
 
     def rollback(self, last_good_round: int) -> None:
         """Drop seen rows from rounds after ``last_good_round`` and
@@ -172,14 +199,21 @@ class SeenSet:
         if not self._has_exact():
             return
         import shutil
-        import tempfile
 
-        df = self.exact_df().where(F.col("first_round") <= last_good_round)
-        tmp = tempfile.mkdtemp(dir=self.path)
-        df.write.mode("overwrite").partitionBy("shard").parquet(os.path.join(tmp, "exact"))
-        shutil.rmtree(self.exact_path)
-        os.rename(os.path.join(tmp, "exact"), self.exact_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # partition layout shard=S/first_round=R -> rollback is a
+        # filesystem delete, no table rewrite
+        for shard_dir in os.listdir(self.exact_path):
+            sd = os.path.join(self.exact_path, shard_dir)
+            if not os.path.isdir(sd):
+                continue
+            for rd in os.listdir(sd):
+                if rd.startswith("first_round="):
+                    try:
+                        rnd = int(rd.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if rnd > last_good_round:
+                        shutil.rmtree(os.path.join(sd, rd), ignore_errors=True)
 
         bits, k = self.bits, self.k
 
