@@ -327,7 +327,11 @@ class CrawlEngine:
             # fetched / matches_total are filled by CheckpointStore.commit
             # from the committed tables' parquet footers
         }
-        unseen.unpersist()
+        # unseen stays pinned until the round's tables are committed
+        # (run() releases it with the scheduler relation): fetch
+        # materializes lazily during the commit writes, and its
+        # lineage runs through unseen
+        self._pending_cleanup.append(unseen)
         return next_frontier, fetched, matches_cum, records, metrics
 
     # -- full crawl --------------------------------------------------------

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from . import QUERIES, ORACLE_SQL  # noqa: F401
 from . import crawl_catalog  # noqa: F401
+from . import extras  # noqa: F401
 from . import functions_catalog  # noqa: F401
 from . import html_nested  # noqa: F401
 from . import relational  # noqa: F401

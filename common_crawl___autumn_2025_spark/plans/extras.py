@@ -1,0 +1,109 @@
+"""Coverage extras: multi-dimensional aggregates, pivot, approximate
+distinct, and the SURT canonicalizer surfaced as oracle-checked
+queries. These go beyond the reference's single-key groupings —
+engine-new surface a corpus-analytics user expects."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+from ..canonical import registered_domain_udf, surt_udf
+
+
+@register(
+    "a14_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a14_rollup(spark, sf_dir):
+    """Hierarchical rollup (status → priority → grand total). NULL
+    grouping markers coalesced to 'ALL' on both sides so the value
+    hash is unambiguous."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@register(
+    "a15_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS status_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a15_pivot(spark, sf_dir):
+    """Pivot on line status — Spark `pivot` vs the oracle's FILTER
+    aggregation (same relation, two spellings)."""
+    out = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+    )
+
+
+@register("a16_approx_distinct")  # rows-only: HLL sketch has no oracle twin
+def a16_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) — the 10^10-scale replacement for
+    exact distinct counts (A6). tests assert the estimate is within
+    5% of exact."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "u09_surt_canonicalize",
+    """
+    SELECT doc_id,
+           'uk,co,example,' || source || ')/path/' || CAST(doc_id AS VARCHAR)
+             AS surt,
+           'example.co.uk' AS reg_domain
+    FROM documents
+    """,
+)
+def u09_surt_canonicalize(spark, sf_dir):
+    """U9/F8: the SURT + registered-domain Arrow UDFs, checked against
+    an oracle that derives the expected values by construction (the
+    synthesized URLs have a known canonical form: label reversal on a
+    public-suffix host, www stripped, scheme dropped)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.co.uk/path/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        surt_udf(url).alias("surt"),
+        registered_domain_udf(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.co.uk"))
+        ).alias("reg_domain"),
+    )

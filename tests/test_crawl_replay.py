@@ -137,3 +137,29 @@ def test_robots_never_fetched(engine_run, spec):
             disallow, _ = syn.robots_for_host(spec.web, row.host)
             path = "/" + row.url.split("://", 1)[1].split("/", 1)[1] if "/" in row.url.split("://", 1)[1] else "/"
             assert not any(path.startswith(d) for d in disallow)
+
+
+def test_larger_web_fetch_set_identical(spark):
+    """Regression: rows silently vanished between seen-add and fetch
+    when the round's cached relations were released before the commit
+    writes materialized the fetch (visible only at hundreds of hosts,
+    cores=8). Engine fetch set must equal the oracle's exactly."""
+    import shutil
+    import tempfile
+
+    spec2 = CrawlSpec(web=syn.WebConfig(n_hosts=400), max_depth=1, max_rounds=2)
+    seeds2 = syn.seed_urls(spec2.web, 400)
+    o = oracle.crawl(spec2, seeds2)
+    root = tempfile.mkdtemp(prefix="crawl_lg_")
+    try:
+        eng = CrawlEngine(spark, spec2, root, partitions=8)
+        eng.run(seeds2)
+        got = {
+            (row.round, row.host, row.seq, row.surt, row.status)
+            for r in range(eng.store.latest_round() + 1)
+            for row in eng.store.read_table(r, "fetch_log").collect()
+        }
+        want = {(r[0], r[1], r[2], r[3], r[7]) for r in o.fetch_log}
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

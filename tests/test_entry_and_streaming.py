@@ -74,3 +74,10 @@ def test_crawl_catalog_queries(spark, sf_dir):
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
     metrics = QUERIES["c02_crawl_round_metrics"](spark, sf_dir).collect()
     assert metrics[0].frontier_in > 0
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    from common_crawl___autumn_2025_spark.plans.catalog import QUERIES
+
+    row = QUERIES["a16_approx_distinct"](spark, sf_dir).collect()[0]
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
