@@ -54,8 +54,8 @@ def bench_crawl(spark, partitions: int) -> dict:
     )
 
     spec = CrawlSpec(
-        web=syn.WebConfig(n_hosts=int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "150"))),
-        max_depth=1,
+        web=syn.WebConfig(n_hosts=int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "800"))),
+        max_depth=2,
         max_rounds=3,
     )
     seeds = syn.seed_urls(spec.web, spec.web.n_hosts)

@@ -238,8 +238,9 @@ def _page_hrefs(cfg: WebConfig, host: str, path: str, i_host: int) -> list[str]:
     g = rng(cfg.seed, "links", host, path)
     hrefs: list[str] = []
     is_home = path == "/"
+    keyword_pages = host_keyword_pages(cfg, host)
     if is_home:
-        for kw in host_keyword_pages(cfg, host):
+        for kw in keyword_pages:
             # relative and absolute forms both appear (urljoin fixture)
             if g.integers(0, 2) == 0:
                 hrefs.append(f"/{kw}")
@@ -249,6 +250,16 @@ def _page_hrefs(cfg: WebConfig, host: str, path: str, i_host: int) -> list[str]:
         # rejected by the same-registered-domain scope filter, P9)
         other = host_name(cfg, (i_host + 7) % cfg.n_hosts)
         hrefs.append(f"http://{other}/about")
+    elif path.lstrip("/") in keyword_pages:
+        # keyword pages cross-link each other (re-discoveries the
+        # seen-set must dedup) and link a depth-2 detail page (new
+        # work for depth>1 crawls; href contains the keyword so the
+        # admission filter passes)
+        for kw in keyword_pages:
+            if f"/{kw}" != path and g.integers(0, 2) == 0:
+                hrefs.append(f"/{kw}")
+        if g.integers(0, 2) == 0:
+            hrefs.append(f"{path}/details")
     # same-domain non-keyword fillers (rejected by keyword filter P10)
     for _ in range(int(g.integers(1, 4))):
         hrefs.append(f"/page/{int(g.integers(0, max(1, n_filler_pages(cfg, i_host))))}")
@@ -286,6 +297,7 @@ def fetch_page(cfg: WebConfig, url: str) -> Page:
     valid = (
         path == "/"
         or path.lstrip("/") in keyword_pages
+        or any(path == f"/{kw}/details" for kw in keyword_pages)
         or (
             path.startswith("/page/")
             and path[6:].isdigit()
