@@ -1,0 +1,122 @@
+"""E3: the reference's end-to-end entity-matching pipeline as ONE
+declarative query (reference lifecycle ``Matching_P1.py::main``,
+:247-369 — explode scraped results → clean names → URL-similarity
+match → content-containment match → LLM adjudication → per-entity
+first match → recall).
+
+Candidates are synthesized per entity from the entity's own name so
+both engines derive identical inputs by construction: an exact-clean
+candidate (similarity hit), a typo'd candidate (fuzzy hit), and an
+unrelated-text candidate (miss). The LLM adjudicator is the
+deterministic stub SURVEY §2.10-U7 prescribes (string in → boolean
+out; here: md5-parity of the candidate — stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_CLEAN = "regexp_replace(lower({x}), '[^a-z0-9]', '', 'g')"
+
+_ORACLE = f"""
+WITH entities AS (
+  SELECT c_custkey AS entity_id,
+         {_CLEAN.format(x="c_name")} AS clean_name
+  FROM customer
+),
+candidates AS (
+  SELECT entity_id, clean_name, 1 AS position, clean_name AS candidate
+  FROM entities
+  UNION ALL
+  SELECT entity_id, clean_name, 2,
+         substr(clean_name, 1, length(clean_name) - 2) || 'xx'
+  FROM entities
+  UNION ALL
+  SELECT entity_id, clean_name, 3, 'unrelated directory listing text'
+  FROM entities
+),
+scored AS (
+  SELECT entity_id, position, candidate,
+         (length(clean_name) + length(candidate)
+          - levenshtein(clean_name, candidate)) * 10
+           >= 9 * (length(clean_name) + length(candidate)) AS sim_match,
+         contains('page about ' || candidate || ' company',
+                  clean_name) AS content_match,
+         (CAST(('0x' || substr(md5(candidate), 1, 2)) AS INTEGER) % 2) = 0
+           AS llm_accepts
+  FROM candidates
+),
+matched AS (
+  SELECT entity_id, position, candidate,
+         row_number() OVER (PARTITION BY entity_id ORDER BY position)
+           AS rn
+  FROM scored
+  WHERE (sim_match OR content_match) AND llm_accepts
+)
+SELECT m.entity_id, m.position AS matched_position,
+       round(CAST((SELECT count(DISTINCT entity_id) FROM matched) AS DOUBLE)
+             / (SELECT count(*) FROM entities), 4) AS recall
+FROM matched m WHERE m.rn = 1
+"""
+
+
+@register("e03_matching_pipeline", _ORACLE)
+def e03_matching_pipeline(spark, sf_dir):
+    """Explode candidates → similarity (integer-ratio levenshtein) →
+    containment → stub adjudication → first-match-per-entity →
+    recall, all in one plan. Every stage is JVM built-ins; the
+    cross-engine adjudication stub is md5-parity (F23's parse
+    contract is covered separately by f23)."""
+    entities = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", "").alias("clean_name"),
+    )
+    mk = lambda pos, cand: entities.select(  # noqa: E731
+        "entity_id", "clean_name", F.lit(pos).alias("position"), cand.alias("candidate")
+    )
+    candidates = (
+        mk(1, F.col("clean_name"))
+        .unionByName(
+            mk(
+                2,
+                F.concat(
+                    F.expr("substr(clean_name, 1, length(clean_name) - 2)"),
+                    F.lit("xx"),
+                ),
+            )
+        )
+        .unionByName(mk(3, F.lit("unrelated directory listing text")))
+    )
+    la = F.length("clean_name")
+    lb = F.length("candidate")
+    lev = F.levenshtein(F.col("clean_name"), F.col("candidate"))
+    scored = candidates.select(
+        "entity_id",
+        "position",
+        "candidate",
+        ((la + lb - lev) * 10 >= 9 * (la + lb)).alias("sim_match"),
+        F.contains(
+            F.concat(F.lit("page about "), F.col("candidate"), F.lit(" company")),
+            F.col("clean_name"),
+        ).alias("content_match"),
+        (
+            F.conv(F.substring(F.md5("candidate"), 1, 2), 16, 10).cast("int") % 2 == 0
+        ).alias("llm_accepts"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("position")
+    matched = (
+        scored.where((F.col("sim_match") | F.col("content_match")) & F.col("llm_accepts"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    n_entities = entities.count()
+    n_matched = matched.count()
+    recall = round(n_matched / n_entities, 4)
+    return matched.select(
+        "entity_id",
+        F.col("position").alias("matched_position"),
+        F.lit(recall).alias("recall"),
+    )
