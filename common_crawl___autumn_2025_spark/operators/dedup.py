@@ -141,9 +141,11 @@ def d02_shingle_jaccard(spark, sf_dir):
     # carry the set size through the explode: the pair aggregation
     # then needs no extra size joins (one shuffle on the shingle key,
     # one on the pair key — nothing else)
+    # localCheckpoint: the self-join would otherwise recompute the
+    # shingle explode for both sides (measured 5x wall time at sf0.1)
     sh = _with_shingle_arr(docs).select(
         "doc_id", "sz", F.explode("arr").alias("shingle")
-    )
+    ).localCheckpoint(eager=True)
     # the exploded relation is ~50x the parquet row-count the planner
     # sees, so Catalyst would wrongly broadcast it — force a shuffle
     # hash join on the shingle key (both sides are the same size; at
@@ -268,7 +270,9 @@ def d03_minhash_lsh(spark, sf_dir):
     join). The scale path for d02: candidates are O(collisions), not
     O(n²); verified against exact Jaccard in tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
-    return lsh_candidates(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+    # pin the signatures: the band self-join reads them twice
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
 
 
 @register("d04_simhash")  # Spark-only: custom bit mixing, pytest-validated

@@ -135,7 +135,9 @@ def m03_phash_near_dup(spark, sf_dir):
                 ]
             )
         ).alias("bk"),
-    ).select("image_id", "phash", "bk.band", "bk.key")
+    ).select("image_id", "phash", "bk.band", "bk.key").localCheckpoint(
+        eager=True
+    )  # self-joined below; avoids regenerating the records twice
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
