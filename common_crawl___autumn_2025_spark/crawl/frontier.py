@@ -232,11 +232,17 @@ class CrawlEngine:
                 on=["seed_id"],
                 how="left_anti",
             )
-        unseen = unseen.persist()
+        # CRITICAL: truncate lineage BEFORE updating the seen set.
+        # unseen's plan scans the seen-exact parquet path; the append
+        # in seen.add() triggers Spark's recacheByPath on that path,
+        # which RECOMPUTES any cached plan reading it — the round's
+        # own candidates then anti-join against themselves and vanish.
+        # An eager localCheckpoint freezes the rows and removes the
+        # path scan from the lineage entirely.
+        unseen = unseen.localCheckpoint(eager=True)
 
-        # 4. everything surviving counts as attempted -> seen (this
-        # also materializes the unseen cache and returns its size —
-        # surts are unique post-dedup, so added == attempted)
+        # 4. everything surviving counts as attempted -> seen (surts
+        # are unique post-dedup, so added == attempted)
         n_attempted = self.seen.add(unseen.select("surt"), round_no)
 
         # 5. robots + politeness scheduling (ordered per-host batches)
@@ -249,10 +255,17 @@ class CrawlEngine:
             cleanup=sched_cleanup,
         )
 
-        # 6. fetch (Arrow-batched; pure function of URL). No count here
-        # — the first checkpoint write materializes the cache; the
-        # scheduler's pinned relation is released after commit (run()).
-        fetched = scheduled.mapInPandas(_fetch_map(spec), schema=FETCHED_SCHEMA).persist()
+        # 6. fetch (Arrow-batched; pure function of URL). The result is
+        # localCheckpoint'ed EAGERLY: this truncates the lineage, so
+        # the commit writes can never recompute through the
+        # politeness/seen pipeline (whose ordered-rank construction is
+        # only deterministic for a single materialization — recompute
+        # divergence here silently dropped whole hosts; see
+        # tests/test_crawl_replay.py::test_larger_web_fetch_set_identical
+        # and test_seen_resume.py::test_shard_partitioned_probe_path).
+        fetched = scheduled.mapInPandas(
+            _fetch_map(spec), schema=FETCHED_SCHEMA
+        ).localCheckpoint(eager=True)
         self._pending_cleanup = sched_cleanup
 
         # 7. new matches: canonically-first target hit per seed
@@ -327,11 +340,6 @@ class CrawlEngine:
             # fetched / matches_total are filled by CheckpointStore.commit
             # from the committed tables' parquet footers
         }
-        # unseen stays pinned until the round's tables are committed
-        # (run() releases it with the scheduler relation): fetch
-        # materializes lazily during the commit writes, and its
-        # lineage runs through unseen
-        self._pending_cleanup.append(unseen)
         return next_frontier, fetched, matches_cum, records, metrics
 
     # -- full crawl --------------------------------------------------------

@@ -257,40 +257,97 @@ class SeenSet:
 
     # -- probe -----------------------------------------------------------
 
+    # broadcast the bitmaps only while they are executor-friendly; at
+    # the 10^10 design point (4096 shards x MBs) switch to the
+    # shard-partitioned probe where each task reads only its shards'
+    # sidecar files from the (shared) checkpoint filesystem
+    BROADCAST_LIMIT_BYTES = 64 << 20
+
     def filter_unseen(self, frontier: DataFrame, surt_col: str = "surt") -> DataFrame:
         """Rows of ``frontier`` whose surt is NOT in the seen set.
 
         Bloom-negative rows pass through without touching the exact
         table; Bloom-positive rows are confirmed via ``left_anti``
-        against only their shards.
+        against only their shards. Two probe strategies:
+
+        - small bitmap set → broadcast all shards (no extra shuffle);
+        - large bitmap set → hash-repartition the frontier on the
+          shard id and let each task load only the shard files it
+          owns (total bitmap bytes moved == one copy, not one per
+          executor; requires the seen path on shared storage, which
+          the checkpoint contract already guarantees).
         """
         bitmaps = self.load_bitmaps()
         if not bitmaps:
             return frontier
         n_shards, bits, k = self.n_shards, self.bits, self.k
-        packed = {s: np.packbits(m) for s, m in bitmaps.items()}
-        b_maps = self.spark.sparkContext.broadcast(packed)
         cols = frontier.columns
-
-        def probe(batches):
-            unpacked = {
-                s: np.unpackbits(m, count=bits).astype(bool)
-                for s, m in b_maps.value.items()
-            }
-            for pdf in batches:
-                flags = []
-                for s in pdf[surt_col]:
-                    bm = unpacked.get(hash64(s) % n_shards)
-                    flags.append(
-                        bm is not None
-                        and all(bm[p] for p in bloom_positions(s, bits, k))
-                    )
-                yield pdf.assign(__bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool))
-
         schema_fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
         )
-        flagged = frontier.mapInPandas(probe, schema=schema_fields + ", __bloom_maybe boolean")
+        total_bytes = sum(m.nbytes for m in bitmaps.values())
+
+        if total_bytes <= self.BROADCAST_LIMIT_BYTES:
+            packed = {s: np.packbits(m) for s, m in bitmaps.items()}
+            b_maps = self.spark.sparkContext.broadcast(packed)
+
+            def probe(batches):
+                unpacked = {
+                    s: np.unpackbits(m, count=bits).astype(bool)
+                    for s, m in b_maps.value.items()
+                }
+                for pdf in batches:
+                    flags = [
+                        (bm := unpacked.get(hash64(s) % n_shards)) is not None
+                        and all(bm[p] for p in bloom_positions(s, bits, k))
+                        for s in pdf[surt_col]
+                    ]
+                    yield pdf.assign(
+                        __bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool)
+                    )
+
+            flagged = frontier.mapInPandas(
+                probe, schema=schema_fields + ", __bloom_maybe boolean"
+            )
+        else:  # shard-partitioned probe: task-local bitmap loads
+            bloom_dir = os.path.join(self.path, "bloom")
+            parallelism = self.spark.sparkContext.defaultParallelism
+
+            def add_shard(batches):
+                for pdf in batches:
+                    yield pdf.assign(
+                        __shard=pdf[surt_col]
+                        .map(lambda s: hash64(s) % n_shards)
+                        .astype("int32")
+                    )
+
+            sharded = frontier.mapInPandas(
+                add_shard, schema=schema_fields + ", __shard int"
+            ).repartition(max(parallelism, n_shards // 16), "__shard")
+
+            def probe_local(batches):
+                cache: dict[int, np.ndarray] = {}
+                for pdf in batches:
+                    flags = []
+                    for s, shard in zip(pdf[surt_col], pdf["__shard"]):
+                        if shard not in cache:
+                            f = os.path.join(bloom_dir, f"shard={shard}.npy")
+                            cache[shard] = (
+                                np.load(f) if os.path.exists(f) else None
+                            )
+                        bm = cache[shard]
+                        flags.append(
+                            bm is not None
+                            and all(bm[p] for p in bloom_positions(s, bits, k))
+                        )
+                    yield pdf.assign(
+                        __bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool)
+                    ).drop(columns=["__shard"])
+
+            flagged = sharded.mapInPandas(
+                probe_local, schema=schema_fields + ", __bloom_maybe boolean"
+            )
+
         negatives = flagged.where(~F.col("__bloom_maybe")).select(*cols)
         positives = flagged.where(F.col("__bloom_maybe")).select(*cols)
         seen_keys = self.exact_df().select(F.col("surt").alias(surt_col))

@@ -147,3 +147,28 @@ def test_lineage_chain(spark, small_spec):
                 assert isinstance(m["tables"][tbl]["partitions"], list)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_shard_partitioned_probe_path(spark, small_spec, monkeypatch):
+    """Force the large-bitmap probe strategy (task-local shard loads)
+    and assert the crawl trace still exactly matches the oracle."""
+    from common_crawl___autumn_2025_spark.crawl import oracle
+    from common_crawl___autumn_2025_spark.crawl.seen import SeenSet
+
+    monkeypatch.setattr(SeenSet, "BROADCAST_LIMIT_BYTES", 0)
+    seeds = syn.seed_urls(small_spec.web, 10)
+    o = oracle.crawl(small_spec, seeds)
+    root = tempfile.mkdtemp(prefix="probe_path_")
+    try:
+        eng = CrawlEngine(spark, small_spec, root, partitions=4)
+        eng.run(seeds)
+        got = sorted(
+            (r.round, r.host, r.seq, r.surt, r.status)
+            for rr in range(eng.store.latest_round() + 1)
+            for r in eng.store.read_table(rr, "fetch_log").collect()
+        )
+        want = sorted((r[0], r[1], r[2], r[3], r[7]) for r in o.fetch_log)
+        assert got == want
+        assert {r.surt for r in eng.seen.exact_df().collect()} == o.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
