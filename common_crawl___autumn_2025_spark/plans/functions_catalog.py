@@ -125,7 +125,8 @@ def f10_regexp_extract(spark, sf_dir):
     "f16_array_ops",
     """
     SELECT p_partkey,
-           string_split(p_name, ' ') AS name_tokens,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')
+             AS tokens_sorted,
            array_to_string(string_split(p_name, ' '), ', ') AS name_joined,
            CAST(len(string_split(p_name, ' ')) AS INT) AS n_parts
     FROM part
@@ -133,10 +134,18 @@ def f10_regexp_extract(spark, sf_dir):
 )
 def f16_array_ops(spark, sf_dir):
     """F16/F17: split-to-array + array_join (refs Scrape_Utils.py:266,
-    Matching_with_recursion.py:257)."""
+    Matching_with_recursion.py:257).
+
+    The array itself is materialized JVM-side (split/sort_array) but the
+    output columns are all scalar: the driver's hash canonicalizer cannot
+    sort raw ARRAY columns, so we emit the sorted token list re-joined as
+    a string instead of the list object.
+    """
     return load(spark, sf_dir, "part").select(
         "p_partkey",
-        F.split("p_name", " ").alias("name_tokens"),
+        F.array_join(F.sort_array(F.split("p_name", " ")), "|").alias(
+            "tokens_sorted"
+        ),
         F.array_join(F.split("p_name", " "), ", ").alias("name_joined"),
         F.size(F.split("p_name", " ")).alias("n_parts"),
     )
