@@ -9,9 +9,12 @@ equivalent is:
 - an exact, Parquet-backed ``url_seen`` table ``(shard INT,
   surt STRING, first_round INT)``, hash-sharded by
   ``blake2b64(surt) % n_shards``;
-- a per-shard Bloom bitmap sidecar, built distributively with
-  ``applyInPandas`` and OR-merged, broadcast to executors as a
-  cheap *prefilter* for the anti-join.
+- a per-shard Bloom bitmap sidecar, built and OR-merged entirely by
+  executor tasks (each shard's rows land in one task, which
+  read-modify-writes its own ``shard=N.npy`` under tmp+rename), used
+  as a cheap *prefilter* for the anti-join. The driver never holds
+  bitmap bytes — at the 4096-shard design point that path would move
+  GBs per round through ``collect()``.
 
 Correctness contract: Bloom false positives are safe because every
 Bloom-positive row is confirmed against the exact table with a
@@ -98,79 +101,95 @@ class SeenSet:
 
     # -- updates ---------------------------------------------------------
 
-    def add(self, surts: DataFrame, round_no: int) -> int:
+    def add(
+        self, surts: DataFrame, round_no: int, assume_unique: bool = False
+    ) -> int:
         """Union new surts into the exact table + Bloom shards.
 
-        Job economy (this runs every round): ONE pass computes the
-        shard id AND the per-shard Bloom delta — the shard-partitioned
-        parquet append is the only full-data job; the tiny packed
-        bitmaps ride along in a second mapInPandas over the
-        already-shuffled partitions and are OR-merged on the driver
-        (bits/8 bytes per shard). The row count comes from the written
-        files' parquet footers — no count job. Layout is
-        ``shard=S/first_round=R`` so rollback is a filesystem delete
-        of ``first_round>R`` directories.
+        Job economy (this runs every round): ONE Spark job total. The
+        delta is hash-repartitioned on the shard id, so every shard's
+        rows land in exactly one task; that task builds its shards'
+        Bloom delta in the same Arrow pass that feeds the
+        shard-partitioned parquet append, and read-modify-writes the
+        shard's bitmap sidecar file directly (tmp + ``os.rename``
+        publish). No bitmap bytes ever cross the driver — the OR
+        merge happens where the rows already are. Task retries and
+        speculative duplicates are safe: re-ORing the same delta is
+        idempotent, and a bitmap that gains bits for rows whose
+        parquet append later fails is still correct (Bloom positives
+        are always confirmed against the exact table; extra bits only
+        cost false-positive rate, and ``rollback`` rebuilds bitmaps
+        from the exact table anyway).
+
+        The row count comes from the written files' parquet footers —
+        no count job. Layout is ``shard=S/first_round=R`` so rollback
+        is a filesystem delete of ``first_round>R`` directories.
+        ``assume_unique=True`` skips the defensive ``distinct`` when
+        the caller guarantees unique non-null surts (the crawl round
+        does: candidates are surt-deduped upstream).
         """
         n_shards, bits, k = self.n_shards, self.bits, self.k
+        bloom_dir = os.path.join(self.path, "bloom")
+        write_parts = min(
+            n_shards, self.spark.sparkContext.defaultParallelism
+        )
 
-        def shard_rows(batches):
+        delta = surts.select("surt").where(
+            F.col("surt").isNotNull() & (F.col("surt") != "")
+        )
+        if not assume_unique:
+            delta = delta.distinct()
+
+        def shard_and_sidecar(batches):
+            """Assign shard ids, build this task's per-shard Bloom
+            deltas, and publish the sidecar files before the final
+            yield — the parquet writer consuming this generator then
+            commits the rows. Each shard is owned by exactly one task
+            (upstream hash repartition on shard), so the
+            read-modify-write below has no concurrent writer except a
+            speculative duplicate of *this same task*, which computes
+            an identical OR."""
+            per_shard: dict[int, np.ndarray] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "shard": pdf["surt"].map(lambda s: hash64(s) % n_shards).astype("int32"),
-                        "surt": pdf["surt"],
-                        "first_round": np.int32(round_no),
-                    }
-                )
-
-        delta = (
-            surts.select("surt")
-            .where(F.col("surt").isNotNull() & (F.col("surt") != ""))
-            .distinct()
-            .mapInPandas(shard_rows, schema=SEEN_SCHEMA)
-            .repartition(n_shards, "shard")
-        )
-
-        def attach_bitmap(batches):
-            """Pass rows through; emit one extra bitmap row per shard
-            seen in this partition (surt NULL marks bitmap rows)."""
-            per_shard: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                for s in pdf["surt"]:
+                for s, shard in zip(pdf["surt"], pdf["shard"]):
                     bm = per_shard.setdefault(
-                        hash64(s) % n_shards, np.zeros(bits, dtype=bool)
+                        int(shard), np.zeros(bits, dtype=bool)
                     )
                     bm[bloom_positions(s, bits, k)] = True
-                yield pdf.assign(packed=None)
-            rows = [
-                {"shard": shard, "surt": None, "first_round": round_no,
-                 "packed": np.packbits(bm).tobytes()}
-                for shard, bm in per_shard.items()
-            ]
-            if rows:
-                yield pd.DataFrame(rows)
+                yield pdf.assign(first_round=np.int32(round_no))[
+                    ["shard", "surt", "first_round"]
+                ]
+            for shard, bm in per_shard.items():
+                f = os.path.join(bloom_dir, f"shard={shard}.npy")
+                if os.path.exists(f):
+                    bm = np.load(f) | bm
+                tmp = os.path.join(
+                    bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy"
+                )
+                with open(tmp, "wb") as fh:
+                    np.save(fh, bm)
+                os.replace(tmp, f)
 
-        combined = delta.mapInPandas(
-            attach_bitmap, schema=SEEN_SCHEMA + ", packed binary"
-        ).persist()
-        packed = combined.where(F.col("surt").isNull()).select(
-            "shard", "packed"
-        ).collect()
-        combined.where(F.col("surt").isNotNull()).drop("packed").write.mode(
-            "append"
-        ).partitionBy("shard", "first_round").parquet(self.exact_path)
-        combined.unpersist()
+        def pre_shard(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield pdf.assign(
+                    shard=pdf["surt"]
+                    .map(lambda s: hash64(s) % n_shards)
+                    .astype("int32")
+                )
 
-        for row in packed:
-            new = np.unpackbits(
-                np.frombuffer(row["packed"], dtype=np.uint8), count=bits
-            ).astype(bool)
-            f = self._bloom_file(row["shard"])
-            if os.path.exists(f):
-                new = np.load(f) | new
-            np.save(f, new)
+        (
+            delta.mapInPandas(pre_shard, schema="surt string, shard int")
+            .repartition(write_parts, "shard")
+            .mapInPandas(shard_and_sidecar, schema=SEEN_SCHEMA)
+            .write.mode("append")
+            .partitionBy("shard", "first_round")
+            .parquet(self.exact_path)
+        )
         self._bitmaps = None  # invalidate broadcast cache
         return self._round_rows(round_no)
 
@@ -216,28 +235,33 @@ class SeenSet:
                         shutil.rmtree(os.path.join(sd, rd), ignore_errors=True)
 
         bits, k = self.bits, self.k
+        bloom_dir = os.path.join(self.path, "bloom")
 
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            """Rebuild one shard's bitmap and publish the sidecar file
+            from the task itself (tmp + rename) — no bitmap bytes
+            cross the driver even for a full-set rebuild. The returned
+            ack row is one int per shard."""
+            shard = int(key[0])
             bitmap = np.zeros(bits, dtype=bool)
             for s in pdf["surt"]:
                 bitmap[bloom_positions(s, bits, k)] = True
-            return pd.DataFrame(
-                {"shard": [int(key[0])], "packed": [np.packbits(bitmap).tobytes()]}
-            )
+            tmp = os.path.join(bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy")
+            with open(tmp, "wb") as fh:
+                np.save(fh, bitmap)
+            os.replace(tmp, os.path.join(bloom_dir, f"shard={shard}.npy"))
+            return pd.DataFrame({"shard": [shard]})
 
-        shutil.rmtree(os.path.join(self.path, "bloom"), ignore_errors=True)
-        os.makedirs(os.path.join(self.path, "bloom"), exist_ok=True)
-        packed = (
+        shutil.rmtree(bloom_dir, ignore_errors=True)
+        os.makedirs(bloom_dir, exist_ok=True)
+        (
             self.exact_df()
             .groupBy("shard")
-            .applyInPandas(build_bitmap, schema="shard int, packed binary")
-            .collect()
+            .applyInPandas(build_bitmap, schema="shard int")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
-        for row in packed:
-            bitmap = np.unpackbits(
-                np.frombuffer(row["packed"], dtype=np.uint8), count=bits
-            ).astype(bool)
-            np.save(self._bloom_file(row["shard"]), bitmap)
         self._bitmaps = None
 
     # -- bloom sidecar ---------------------------------------------------
