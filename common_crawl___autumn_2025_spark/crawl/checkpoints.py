@@ -54,6 +54,21 @@ def _dir_metrics(path: str) -> list[dict]:
 
 class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str):
+        # Metadata/bitmap IO uses plain POSIX calls (os, pyarrow local
+        # reads, np.load in executor tasks), so the root must be a
+        # local-scheme path on storage shared by driver and executors
+        # (NFS on a cluster). A URI like hdfs:// would silently split
+        # the store: Spark writes would go to HDFS while manifests and
+        # Bloom sidecars land in a bogus local "hdfs:" directory.
+        scheme = root.split("://", 1)[0] if "://" in root else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"checkpoint root must be a POSIX path shared by driver "
+                f"and executors (got scheme {scheme!r}); route it through "
+                f"a mounted filesystem instead"
+            )
+        if root.startswith("file://"):
+            root = root[len("file://"):]
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -77,11 +92,24 @@ class CheckpointStore:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
+
+        # the table writes are independent scans of already-pinned
+        # relations — submit them concurrently so their fixed job
+        # latencies overlap (this runs every round; Spark's scheduler
+        # is thread-safe for concurrent actions)
+        def _write(item):
+            name, df = item
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+            return name
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
+            list(pool.map(_write, tables.items()))
+
         table_meta = {}
-        for name, df in tables.items():
-            path = os.path.join(tmp, name)
-            df.write.mode("overwrite").parquet(path)
-            parts = _dir_metrics(path)  # footer metadata, no extra job
+        for name in tables:
+            parts = _dir_metrics(os.path.join(tmp, name))  # footers, no job
             table_meta[name] = {
                 "rows": sum(p["rows"] for p in parts),
                 "partitions": parts,
@@ -90,7 +118,13 @@ class CheckpointStore:
         for metric, table in self.ROW_METRICS.items():
             if metric not in metrics and table in table_meta:
                 metrics[metric] = table_meta[table]["rows"]
-        parent = self.latest_round()
+        # parent derives from the ROUND NUMBER, not latest_round():
+        # recommitting round 0 over an existing root would otherwise
+        # point its manifest at round N and make lineage() a cycle.
+        committed_below = [
+            r for r in self._committed_rounds() if r < round_no
+        ]
+        parent = max(committed_below) if committed_below else None
         manifest = {
             "round": round_no,
             "parent_round": parent,
@@ -114,7 +148,7 @@ class CheckpointStore:
         os.rename(tmp, final)  # atomic publish
         return manifest
 
-    def latest_round(self) -> int | None:
+    def _committed_rounds(self) -> list[int]:
         rounds = []
         if os.path.exists(self.root):
             for d in os.listdir(self.root):
@@ -122,7 +156,11 @@ class CheckpointStore:
                     os.path.join(self.root, d, "manifest.json")
                 ):
                     rounds.append(int(d.split("=", 1)[1]))
-        return max(rounds) if rounds else None
+        return sorted(rounds)
+
+    def latest_round(self) -> int | None:
+        rounds = self._committed_rounds()
+        return rounds[-1] if rounds else None
 
     def read_manifest(self, round_no: int) -> dict:
         with open(os.path.join(self._round_dir(round_no), "manifest.json")) as f:
@@ -132,11 +170,20 @@ class CheckpointStore:
         return self.spark.read.parquet(os.path.join(self._round_dir(round_no), name))
 
     def lineage(self, round_no: int | None = None) -> list[dict]:
-        """Manifest chain from the given (default latest) round back to 0."""
+        """Manifest chain from the given (default latest) round back to 0.
+
+        Guarded against non-monotone parent pointers (e.g. a manifest
+        written by an older version that recommitted a round over an
+        existing root): a parent that does not strictly decrease ends
+        the chain instead of looping forever.
+        """
         cur = self.latest_round() if round_no is None else round_no
         chain = []
         while cur is not None:
             m = self.read_manifest(cur)
             chain.append(m)
-            cur = m["parent_round"]
+            parent = m["parent_round"]
+            if parent is not None and parent >= cur:
+                break
+            cur = parent
         return chain

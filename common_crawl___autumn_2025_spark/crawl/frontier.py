@@ -36,6 +36,8 @@ from __future__ import annotations
 import hashlib
 import json
 import re
+import threading
+import time
 from dataclasses import asdict, dataclass, field
 
 import pandas as pd
@@ -44,9 +46,8 @@ from pyspark.sql import functions as F
 
 from .. import synthetic as syn
 from ..canonical import canonicalize, host_of, registered_domain, surt
-from ..codecs import phash64
 from .checkpoints import CheckpointStore
-from .politeness import schedule
+from .politeness import with_host_sequence
 from .seen import SeenSet
 
 FRONTIER_SCHEMA = (
@@ -169,6 +170,42 @@ def _fetch_map(spec: CrawlSpec):
 
 
 class CrawlEngine:
+    """Distributed crawl-round driver.
+
+    Job economy (the north-rule headline metric is frontier-round
+    latency, so fixed per-round cost is the enemy): one round runs
+
+    1. ONE job materializing the deduped-unseen delta (window dedup +
+       Bloom probe + exact confirm + early-exit filter, eager
+       ``localCheckpoint``),
+    2. the seen-set append (one write job) CONCURRENTLY with
+    3. the schedule+fetch job (robots flags fused into an Arrow pass
+       over the checkpointed delta, politeness window, fetch
+       ``mapInPandas``, eager ``localCheckpoint``), then
+    4. one tiny new-matched-seed-ids collect, and
+    5. the four snapshot table writes, submitted concurrently.
+
+    Partition counts adapt to the round size (``rows_per_task_*``) so
+    a small round is not taxed with ``defaultParallelism`` empty
+    tasks, while a 10^7-row round fans out to the full cluster.
+    Early-exit / first-match filtering uses a driver-held matched-seed
+    id set (``isin``) below ``matched_isin_limit`` and falls back to a
+    broadcast anti-join above it. Robots rules live in a plain Spark
+    broadcast dict below ``robots_dict_limit`` rows (no per-round
+    broadcast-join build); a larger robots table keeps the join path.
+    """
+
+    # matched-seed filters switch from driver isin to broadcast anti-join
+    matched_isin_limit = 100_000
+    # robots config switches from broadcast dict to per-round join
+    robots_dict_limit = 1_000_000
+    # politeness switches from plain host window to the range-salted
+    # construction (politeness.with_host_sequence) above this row count
+    salted_politeness_threshold = 200_000
+    # adaptive partition sizing
+    rows_per_task_cheap = 4096   # shuffle/window/probe stages
+    rows_per_task_fetch = 64     # the CPU-heavy fetch stage
+
     def __init__(
         self,
         spark: SparkSession,
@@ -187,12 +224,93 @@ class CrawlEngine:
             bits_per_shard=spec.seen_bits_per_shard,
         )
         self.partitions = partitions or spark.sparkContext.defaultParallelism
+        self._matched_ids: set[int] = set()
+        self.robots_dict: dict | None = None
+        self.robots = None
         if robots is None:
-            robots = spark.createDataFrame(
-                syn.robots_pandas(spec.web),
-                "host string, disallow array<string>, crawl_delay double",
+            pdf = syn.robots_pandas(spec.web)
+            self.robots_dict = {
+                r.host: (tuple(r.disallow), float(r.crawl_delay))
+                for r in pdf.itertuples(index=False)
+            }
+        else:
+            probe = robots.limit(self.robots_dict_limit + 1).collect()
+            if len(probe) <= self.robots_dict_limit:
+                self.robots_dict = {
+                    r["host"]: (tuple(r["disallow"]), float(r["crawl_delay"]))
+                    for r in probe
+                }
+            else:  # huge robots config: keep the broadcast-join path
+                self.robots = robots
+        if self.robots_dict is not None:
+            self._robots_bc = spark.sparkContext.broadcast(self.robots_dict)
+
+    def _parts(self, n_rows: int, rows_per_task: int) -> int:
+        return max(1, min(self.partitions, -(-max(n_rows, 1) // rows_per_task)))
+
+    def _filter_unmatched(self, df: DataFrame, matches: DataFrame) -> DataFrame:
+        """Drop rows whose seed already matched. Driver isin below the
+        limit (no broadcast-build job), broadcast anti-join above."""
+        if len(self._matched_ids) == 0:
+            return df
+        if len(self._matched_ids) <= self.matched_isin_limit:
+            return df.where(~F.col("seed_id").isin(list(self._matched_ids)))
+        return df.join(
+            F.broadcast(matches.select("seed_id").distinct()),
+            on=["seed_id"],
+            how="left_anti",
+        )
+
+    def _robots_flags(self, df: DataFrame) -> DataFrame:
+        """Attach ``__robots_ok`` + ``__delay`` columns.
+
+        Dict mode: one Arrow pass against the broadcast robots config
+        (same path logic as the oracle, ``oracle.py`` step 5). Join
+        mode (robots table too big to broadcast as a dict): the
+        declarative join+exists filter from ``politeness.schedule``.
+        """
+        schema_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        if self.robots_dict is not None:
+            bc = self._robots_bc
+
+            def flags(batches):
+                robots = bc.value
+                for pdf in batches:
+                    ok, delay = [], []
+                    for url, host in zip(pdf["url"], pdf["host"]):
+                        disallow, d = robots.get(host, ((), 1.0))
+                        rest = url.split("://", 1)[1]
+                        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+                        path = path.split("?", 1)[0]
+                        ok.append(not any(path.startswith(p) for p in disallow))
+                        delay.append(d)
+                    yield pdf.assign(
+                        __robots_ok=pd.Series(ok, index=pdf.index, dtype=bool),
+                        __delay=pd.Series(delay, index=pdf.index, dtype=float),
+                    )
+
+            return df.mapInPandas(
+                flags, schema=schema_fields + ", __robots_ok boolean, __delay double"
             )
-        self.robots = robots
+        joined = df.join(F.broadcast(self.robots), on=["host"], how="left")
+        path = F.regexp_replace(
+            F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)?$", 1),
+            r"\?.*$",
+            "",
+        )
+        ok = F.col("disallow").isNull() | ~F.exists(
+            F.col("disallow"),
+            lambda d: F.startswith(F.coalesce(path, F.lit("/")), d),
+        )
+        return (
+            joined.withColumn("__robots_ok", ok)
+            .withColumn(
+                "__delay", F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+            )
+            .drop("disallow", "crawl_delay")
+        )
 
     # -- one round -------------------------------------------------------
 
@@ -204,20 +322,29 @@ class CrawlEngine:
         frontier_count: int | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:
         """Returns (next_frontier, fetched, new_matches_cum, records,
-        metrics). Job economy: the only counted relations are the
-        deduped-unseen delta (inside ``seen.add``, on cached data);
-        fetch/match totals come from checkpoint parquet footers, and
-        ``frontier_count`` is passed from the previous round's
-        manifest (or len(seeds)) instead of re-counting."""
+        metrics). Job economy: the only counted relations are the tiny
+        new-matched-seed-id collect; fetch/match totals come from
+        checkpoint parquet footers, and ``frontier_count`` is passed
+        from the previous round's manifest (or len(seeds)) instead of
+        re-counting. Phase wall-times land in ``metrics["phase_sec"]``
+        so per-round overhead stays observable."""
         spec = self.spec
         n_frontier = frontier.count() if frontier_count is None else frontier_count
+        phase: dict[str, float] = {}
+        t0 = time.time()
+        parts_cheap = self._parts(n_frontier, self.rows_per_task_cheap)
+        parts_fetch = self._parts(n_frontier, self.rows_per_task_fetch)
 
-        # 1. in-round dedup by surt, canonical attribution tiebreak
+        # 1. in-round dedup by surt, canonical attribution tiebreak.
+        # The explicit repartition sizes the shuffle to the round
+        # (parts_cheap) and already satisfies the window's required
+        # distribution, so no second exchange is added.
         dedup_w = Window.partitionBy("surt").orderBy(
             "priority", "seed_id", F.coalesce("parent_url", F.lit(""))
         )
         cand = (
-            frontier.withColumn("__rn", F.row_number().over(dedup_w))
+            frontier.repartition(parts_cheap, "surt")
+            .withColumn("__rn", F.row_number().over(dedup_w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -227,11 +354,7 @@ class CrawlEngine:
 
         # 3. early-exit: drop rows of already-satisfied seeds
         if spec.early_exit:
-            unseen = unseen.join(
-                F.broadcast(matches.select("seed_id").distinct()),
-                on=["seed_id"],
-                how="left_anti",
-            )
+            unseen = self._filter_unmatched(unseen, matches)
         # CRITICAL: truncate lineage BEFORE updating the seen set.
         # unseen's plan scans the seen-exact parquet path; the append
         # in seen.add() triggers Spark's recacheByPath on that path,
@@ -240,35 +363,77 @@ class CrawlEngine:
         # An eager localCheckpoint freezes the rows and removes the
         # path scan from the lineage entirely.
         unseen = unseen.localCheckpoint(eager=True)
+        phase["unseen"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
         # 4. everything surviving counts as attempted -> seen (surts
-        # are unique post-dedup, so added == attempted)
-        n_attempted = self.seen.add(unseen.select("surt"), round_no)
+        # are unique post-dedup, so added == attempted). The append is
+        # independent of the fetch (both read the checkpointed delta),
+        # so it runs CONCURRENTLY with the schedule+fetch job below.
+        add_result: dict = {}
 
-        # 5. robots + politeness scheduling (ordered per-host batches)
+        def _add():
+            try:
+                add_result["n"] = self.seen.add(
+                    unseen.select("surt"), round_no, assume_unique=True
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                add_result["err"] = e
+
+        add_thread = threading.Thread(target=_add, name=f"seen-add-r{round_no}")
+        add_thread.start()
+
+        # 5. robots + politeness scheduling + 6. fetch — ONE job.
+        # Robots flags ride an Arrow pass over the checkpointed delta;
+        # small rounds rank with a plain per-host window on an
+        # explicit host repartition (no sampling job, no offsets
+        # broadcast), while rounds above salted_politeness_threshold
+        # use the range-salted construction that bounds any single
+        # host's rows per task (same seq values — the invariance tests
+        # force both paths). The fetch result is localCheckpoint'ed
+        # EAGERLY: the commit writes must never recompute through the
+        # politeness pipeline (recompute divergence silently dropped
+        # whole hosts; see test_larger_web_fetch_set_identical).
+        flagged = self._robots_flags(unseen)
+        allowed = flagged.where(F.col("__robots_ok"))
         sched_cleanup: list = []
-        scheduled = schedule(
-            unseen,
-            self.robots,
-            partitions=self.partitions,
-            round_budget_s=spec.round_budget_s,
-            cleanup=sched_cleanup,
+        if n_frontier <= self.salted_politeness_threshold:
+            pre = allowed.repartition(parts_fetch, "host")
+            host_w = Window.partitionBy("host").orderBy("priority", "surt")
+            seqd = pre.withColumn(
+                "seq", F.row_number().over(host_w).cast("long")
+            )
+        else:
+            seqd = with_host_sequence(
+                allowed, partitions=self.partitions, cleanup=sched_cleanup
+            )
+        scheduled = (
+            seqd.withColumn(
+                "fetch_ts_offset", (F.col("seq") - 1) * F.col("__delay")
+            )
+            .withColumn(
+                "batch_id",
+                F.floor(
+                    F.col("fetch_ts_offset") / F.lit(spec.round_budget_s)
+                ).cast("int"),
+            )
+            .drop("__robots_ok", "__delay")
         )
-
-        # 6. fetch (Arrow-batched; pure function of URL). The result is
-        # localCheckpoint'ed EAGERLY: this truncates the lineage, so
-        # the commit writes can never recompute through the
-        # politeness/seen pipeline (whose ordered-rank construction is
-        # only deterministic for a single materialization — recompute
-        # divergence here silently dropped whole hosts; see
-        # tests/test_crawl_replay.py::test_larger_web_fetch_set_identical
-        # and test_seen_resume.py::test_shard_partitioned_probe_path).
         fetched = scheduled.mapInPandas(
             _fetch_map(spec), schema=FETCHED_SCHEMA
         ).localCheckpoint(eager=True)
         self._pending_cleanup = sched_cleanup
+        add_thread.join()
+        if "err" in add_result:
+            raise add_result["err"]
+        n_attempted = add_result["n"]
+        phase["fetch_and_seen_add"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
-        # 7. new matches: canonically-first target hit per seed
+        # 7. new matches: canonically-first target hit per seed.
+        # First-ever-match semantics are UNCONDITIONAL (independent of
+        # early_exit, which only gates frontier pruning): the oracle
+        # records only the first-ever match per seed (oracle.py step 6).
         hit_w = Window.partitionBy("seed_id").orderBy("priority", "surt")
         new_matches = (
             fetched.where((F.col("status") == 200) & (F.col("target_number") != ""))
@@ -279,24 +444,18 @@ class CrawlEngine:
                 F.lit(round_no).cast("int").alias("round"),
             )
         )
-        if spec.early_exit:
-            new_matches = new_matches.join(
-                F.broadcast(matches.select("seed_id").distinct()),
-                on=["seed_id"],
-                how="left_anti",
-            )
-        matches_cum = matches.unionByName(new_matches).persist()
+        new_matches = self._filter_unmatched(new_matches, matches)
+        new_ids = [r[0] for r in new_matches.select("seed_id").collect()]
+        self._matched_ids.update(new_ids)
+        matches_cum = matches.unionByName(new_matches)
+        phase["new_matches"] = round(time.time() - t0, 3)
 
         # 8. link expansion from unsatisfied seeds' 200-pages
         expandable = fetched.where(
             (F.col("status") == 200) & (F.col("depth") < spec.max_depth)
         )
         if spec.early_exit:
-            expandable = expandable.join(
-                F.broadcast(matches_cum.select("seed_id").distinct()),
-                on=["seed_id"],
-                how="left_anti",
-            )
+            expandable = self._filter_unmatched(expandable, matches_cum)
 
         def expand(batches):
             for pdf in batches:
@@ -329,14 +488,21 @@ class CrawlEngine:
             "url", "surt", "host", "depth", "priority", "seed_id", "hrefs"
         ).mapInPandas(expand, schema=FRONTIER_SCHEMA)
 
-        # 9. canonical record table rows (input_hint schema)
-        records = fetched.where(F.col("status") == 200).select(
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        # 9. canonical record table rows (input_hint schema). Scans of
+        # the checkpointed fetch are coalesced so a small round does
+        # not commit defaultParallelism near-empty files (small-file
+        # problem at scale; footer-walk cost every round here).
+        write_parts = self._parts(n_frontier, 8192)
+        records = (
+            fetched.where(F.col("status") == 200)
+            .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+            .coalesce(write_parts)
         )
 
         metrics = {
             "frontier_in": n_frontier,
             "deduped_attempted": n_attempted,
+            "phase_sec": phase,
             # fetched / matches_total are filled by CheckpointStore.commit
             # from the committed tables' parquet footers
         }
@@ -350,16 +516,34 @@ class CrawlEngine:
         start_round = 0
         frontier = seeds_frontier(spark, seeds)
         matches = empty_matches
+        self._matched_ids = set()
 
         latest = self.store.latest_round()
-        if resume and latest is not None:
-            m = self.store.read_manifest(latest)
-            if m["config_hash"] != spec.config_hash():
-                raise ValueError("checkpoint config mismatch — refusing to resume")
-            frontier = self.store.read_table(latest, "frontier")
-            matches = self.store.read_table(latest, "matches")
-            start_round = latest + 1
-            self.seen.rollback(latest)
+        if not resume and (latest is not None or self.seen.has_state()):
+            raise ValueError(
+                "checkpoint root already holds committed rounds or seen "
+                "state — pass resume=True or point at a clean root "
+                "(refusing to silently crawl against stale seen data)"
+            )
+        if resume:
+            if latest is None:
+                # crash during round 0 (seen.add ran, commit did not):
+                # committed state is empty, so the seen set must be
+                # reset or every round-0 candidate anti-joins away.
+                self.seen.reset()
+            else:
+                m = self.store.read_manifest(latest)
+                if m["config_hash"] != spec.config_hash():
+                    raise ValueError(
+                        "checkpoint config mismatch — refusing to resume"
+                    )
+                frontier = self.store.read_table(latest, "frontier")
+                matches = self.store.read_table(latest, "matches")
+                self._matched_ids = {
+                    r[0] for r in matches.select("seed_id").collect()
+                }
+                start_round = latest + 1
+                self.seen.rollback(latest)
 
         summary = {"rounds": [], "config_hash": spec.config_hash()}
         frontier_count = len(seeds) if start_round == 0 else None
@@ -370,16 +554,24 @@ class CrawlEngine:
         for round_no in range(start_round, spec.max_rounds):
             if frontier_count == 0:
                 break
+            t_commit = time.time()
             nxt, fetched, matches, records, metrics = self.run_round(
                 round_no, frontier, matches, frontier_count=frontier_count
             )
-            fetch_log = fetched.drop("bytes", "hrefs", "caption")
+            write_parts = self._parts(frontier_count, 8192)
+            fetch_log = fetched.drop("bytes", "hrefs", "caption").coalesce(
+                write_parts
+            )
             manifest = self.store.commit(
                 round_no,
                 {
                     "frontier": nxt,
                     "fetch_log": fetch_log,
-                    "matches": matches,
+                    # repartition, NOT coalesce: coalesce(1) over this
+                    # union+window plan measured 6× slower than the
+                    # explicit tiny shuffle (it drags the window stage
+                    # into the single coalesced task)
+                    "matches": matches.repartition(write_parts),
                     "records": records,
                 },
                 metrics,
@@ -389,9 +581,13 @@ class CrawlEngine:
             for df in getattr(self, "_pending_cleanup", []):
                 df.unpersist()
             self._pending_cleanup = []
+            manifest["metrics"].setdefault("phase_sec", {})["commit"] = round(
+                time.time() - t_commit
+                - sum(v for v in metrics["phase_sec"].values()),
+                3,
+            )
             summary["rounds"].append({**manifest["metrics"], "round": round_no,
                                       "snapshot_id": manifest["snapshot_id"]})
-            matches.unpersist()
             frontier = self.store.read_table(round_no, "frontier")
             matches = self.store.read_table(round_no, "matches")
             frontier_count = manifest["tables"]["frontier"]["rows"]

@@ -99,6 +99,25 @@ class SeenSet:
             return self.spark.read.parquet(self.exact_path)
         return self.spark.createDataFrame([], SEEN_SCHEMA)
 
+    def has_state(self) -> bool:
+        """True if any exact rows or Bloom sidecars exist."""
+        bloom = os.path.join(self.path, "bloom")
+        return self._has_exact() or (
+            os.path.isdir(bloom)
+            and any(f.startswith("shard=") for f in os.listdir(bloom))
+        )
+
+    def reset(self) -> None:
+        """Drop all seen state (exact table + Bloom sidecars). Used
+        when resuming into a root whose first round never committed —
+        the committed state is empty, so the seen set must be too."""
+        import shutil
+
+        shutil.rmtree(self.exact_path, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "bloom"), ignore_errors=True)
+        os.makedirs(os.path.join(self.path, "bloom"), exist_ok=True)
+        self._bitmaps = None
+
     # -- updates ---------------------------------------------------------
 
     def add(

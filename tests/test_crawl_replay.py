@@ -163,3 +163,40 @@ def test_larger_web_fetch_set_identical(spark):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_no_early_exit_matches_first_ever_only(spark):
+    """With early_exit=False a seed keeps crawling after matching, but
+    the matches table still records only the FIRST-ever match per seed
+    (oracle semantics) — no duplicate seed rows across rounds."""
+    spec_ne = CrawlSpec(
+        web=syn.WebConfig(n_hosts=20), max_depth=1, max_rounds=3,
+        early_exit=False,
+    )
+    seeds_ne = syn.seed_urls(spec_ne.web, 15)
+    o = oracle.crawl(spec_ne, seeds_ne)
+    root = tempfile.mkdtemp(prefix="crawl_ne_")
+    try:
+        eng = CrawlEngine(spark, spec_ne, root, partitions=4)
+        eng.run(seeds_ne)
+        latest = eng.store.latest_round()
+        rows = eng.store.read_table(latest, "matches").collect()
+        assert len(rows) == len({r.seed_id for r in rows})  # no dup seeds
+        got = {r.seed_id: (r.url, r.surt, r.target_number, r.round) for r in rows}
+        assert got == o.matches
+        assert _engine_fetch_log(eng) == sorted(o.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_salted_politeness_path_identical(spark, spec, seeds, oracle_result):
+    """Force the range-salted politeness construction (the big-round
+    skew path) and assert the trace still matches the oracle."""
+    root = tempfile.mkdtemp(prefix="crawl_salted_")
+    try:
+        eng = CrawlEngine(spark, spec, root, partitions=4)
+        eng.salted_politeness_threshold = 0
+        eng.run(seeds)
+        assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -172,3 +172,70 @@ def test_shard_partitioned_probe_path(spark, small_spec, monkeypatch):
         assert {r.surt for r in eng.seen.exact_df().collect()} == o.seen
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resume_after_round0_crash_resets_seen(spark, small_spec):
+    """A crash after seen.add but before the first commit leaves seen
+    state with no committed round; resume must reset it, or every
+    round-0 candidate anti-joins itself away (empty crawl, no error)."""
+    seeds = syn.seed_urls(small_spec.web, 10)
+    root_full = tempfile.mkdtemp(prefix="ck_r0full_")
+    root_crash = tempfile.mkdtemp(prefix="ck_r0crash_")
+    try:
+        full = CrawlEngine(spark, small_spec, root_full, partitions=4)
+        full.run(seeds)
+
+        crash = CrawlEngine(spark, small_spec, root_crash, partitions=4)
+        # simulate: round 0's seen.add ran, commit never happened
+        crash.seen.add(
+            spark.createDataFrame([("com,acme0000)/",)], "surt string"), 0
+        )
+        assert crash.store.latest_round() is None
+
+        resumed = CrawlEngine(spark, small_spec, root_crash, partitions=4)
+        resumed.run(seeds, resume=True)
+        got = sorted(r.surt for r in resumed.seen.exact_df().collect())
+        want = sorted(r.surt for r in full.seen.exact_df().collect())
+        assert got == want
+        assert resumed.store.latest_round() == full.store.latest_round()
+    finally:
+        shutil.rmtree(root_full, ignore_errors=True)
+        shutil.rmtree(root_crash, ignore_errors=True)
+
+
+def test_fresh_run_refuses_dirty_root(spark, small_spec):
+    seeds = syn.seed_urls(small_spec.web, 5)
+    root = tempfile.mkdtemp(prefix="ck_dirty_")
+    try:
+        CrawlEngine(spark, small_spec, root, partitions=2).run(seeds)
+        with pytest.raises(ValueError, match="resume=True"):
+            CrawlEngine(spark, small_spec, root, partitions=2).run(seeds)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_checkpoint_store_rejects_uri_scheme(spark):
+    from common_crawl___autumn_2025_spark.crawl.checkpoints import (
+        CheckpointStore,
+    )
+
+    with pytest.raises(ValueError, match="POSIX path"):
+        CheckpointStore(spark, "hdfs:///crawl/ckpt")
+
+
+def test_lineage_terminates_on_recommit(spark, small_spec, tmp_path):
+    """Recommitting round 0 over an existing root must not create a
+    parent cycle (parent derives from the round number now)."""
+    from common_crawl___autumn_2025_spark.crawl.checkpoints import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    df = spark.createDataFrame([(1,)], "x int")
+    for r in (0, 1, 2):
+        store.commit(r, {"t": df}, {}, "h")
+    # recommit round 0 — parent must stay None, lineage must terminate
+    m0 = store.commit(0, {"t": df}, {}, "h")
+    assert m0["parent_round"] is None
+    chain = store.lineage()
+    assert [m["round"] for m in chain] == [2, 1, 0]

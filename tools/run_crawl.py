@@ -9,10 +9,14 @@ Cluster:
     zip -r engine.zip common_crawl___autumn_2025_spark
     spark-submit --py-files engine.zip tools/run_crawl.py \\
         --hosts 100000 --seeds 100000 --rounds 10 \\
-        --checkpoint hdfs:///crawl/ckpt --partitions 4096
+        --checkpoint /mnt/shared/crawl_ckpt --partitions 4096
 
-(SPARK_GRAFT_NO_LOCAL_MASTER=1 makes the session factory defer to
-spark-submit's --master.) Resume after interruption with --resume.
+The checkpoint root must be a POSIX path on storage shared by driver
+and executors (e.g. NFS): manifest/bitmap IO uses plain filesystem
+calls, so URI schemes like hdfs:// are rejected at startup
+(CheckpointStore validates this). (SPARK_GRAFT_NO_LOCAL_MASTER=1
+makes the session factory defer to spark-submit's --master.) Resume
+after interruption with --resume.
 """
 
 from __future__ import annotations
