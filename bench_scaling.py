@@ -8,12 +8,26 @@ throughput at both plus the efficiency::
 
     efficiency = (T_8 / T_32) / (32 / 8)
 
-The job is the engine's hot path: generate the canonical image+caption
-record table distributively (mapInPandas; encode), decode + verify
-every payload, aggregate — CPU-bound per-row work plus one shuffle,
-i.e. the same shape as a crawl round's fetch/decode stage. A second
-job measures three full crawl rounds (which include the fixed
-per-round scheduling/checkpoint costs that amortize at scale).
+Jobs measured:
+
+1. **record pipeline** — generate the canonical image+caption record
+   table distributively (mapInPandas; encode), decode + verify every
+   payload, aggregate. CPU-bound per-row work plus one shuffle: the
+   same shape as a crawl round's fetch/decode stage.
+2. **crawl (small)** — three full rounds at 800 seeds: dominated by
+   the fixed per-round cost (scheduling, Bloom build, checkpoint
+   commit), i.e. the overhead floor, NOT a scaling-representative
+   round size.
+3. **crawl (large)** — full rounds at 25k seeds / ~57k URLs with
+   48-96px image payloads: enough per-URL work that the fixed
+   per-round cost amortizes, the closest this sandbox gets to the
+   10^7+-URLs-per-round design point. THIS is the north-rule
+   measurement.
+
+All efficiencies are reported raw AND normalized to the host's
+measured hardware scaling ceiling (a pure-Python CPU burn at 8 vs 32
+processes — SMT/shared-host effects cap the reachable speedup well
+below 4x, and that cap applies to any job, not just ours).
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -35,40 +49,62 @@ os.environ["SPARK_GRAFT_CPUS"] = str(cores)
 from common_crawl___autumn_2025_spark.session import get_spark
 from common_crawl___autumn_2025_spark import synthetic as syn
 from common_crawl___autumn_2025_spark.operators.multimodal import decode_verify
+from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSpec
 from pyspark.sql import functions as F
 
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
 N = int(os.environ.get("SPARK_GRAFT_SCALE_RECORDS", "120000"))
 
 # warmup (JVM + python workers)
-decode_verify(syn.records_df(spark, 256, seed=1, partitions=cores)).write \\
-    .format("noop").mode("overwrite").save()
+decode_verify(syn.records_df(spark, 256, seed=1, partitions=cores),
+              ref_seed=1).write.format("noop").mode("overwrite").save()
 
 records_sec = None
 for _ in range(3):  # warm python workers; report best-of-3 (host is noisy)
     t0 = time.time()
-    out = decode_verify(syn.records_df(spark, N, seed=42, partitions=cores))
+    out = decode_verify(syn.records_df(spark, N, seed=42, partitions=cores),
+                        ref_seed=42)
     agg = out.groupBy("fmt").agg(F.count("*").alias("n"),
                                  F.avg("caption_tokens").alias("avg_tokens"))
     agg.write.format("noop").mode("overwrite").save()
     el = time.time() - t0
     records_sec = el if records_sec is None else min(records_sec, el)
 
-from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSpec
-spec = CrawlSpec(web=syn.WebConfig(n_hosts=800), max_depth=1, max_rounds=3)
-seeds = syn.seed_urls(spec.web, 800)
-root = tempfile.mkdtemp(prefix="scale_crawl_")
-t0 = time.time()
-eng = CrawlEngine(spark, spec, root, partitions=cores)
-summary = eng.run(seeds)
-crawl_sec = time.time() - t0
-fetched = sum(r["fetched"] for r in summary["rounds"])
-shutil.rmtree(root, ignore_errors=True)
-print(json.dumps({{"cores": cores, "records": N,
-                   "records_sec": round(records_sec, 3),
-                   "records_per_sec": round(N / records_sec, 1),
-                   "crawl_sec": round(crawl_sec, 3), "crawl_fetched": fetched,
-                   "crawl_urls_per_sec": round(fetched / crawl_sec, 2)}}))
+
+def crawl_once(spec, n_seeds):
+    seeds = syn.seed_urls(spec.web, n_seeds)
+    root = tempfile.mkdtemp(prefix="scale_crawl_")
+    try:
+        t0 = time.time()
+        eng = CrawlEngine(spark, spec, root, partitions=cores)
+        summary = eng.run(seeds)
+        sec = time.time() - t0
+        fetched = sum(r["fetched"] for r in summary["rounds"])
+        return sec, fetched
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+small_spec = CrawlSpec(web=syn.WebConfig(n_hosts=800), max_depth=1, max_rounds=3)
+small_sec, small_fetched = crawl_once(small_spec, 800)
+
+big_spec = CrawlSpec(
+    web=syn.WebConfig(n_hosts=25000, image_min=48, image_max=96),
+    max_depth=1, max_rounds=3,
+)
+big_sec, big_fetched = crawl_once(big_spec, 25000)
+
+print(json.dumps({{
+    "cores": cores, "records": N,
+    "records_sec": round(records_sec, 3),
+    "records_per_sec": round(N / records_sec, 1),
+    "crawl_small_sec": round(small_sec, 3),
+    "crawl_small_fetched": small_fetched,
+    "crawl_small_urls_per_sec": round(small_fetched / small_sec, 2),
+    "crawl_big_sec": round(big_sec, 3),
+    "crawl_big_fetched": big_fetched,
+    "crawl_big_urls_per_sec": round(big_fetched / big_sec, 2),
+}}))
 spark.stop()
 """
 
@@ -79,7 +115,7 @@ def run_at(cores: int) -> dict:
         [sys.executable, "-c", code, str(cores)],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=1800,
         cwd=REPO,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -111,15 +147,22 @@ def _burn(_):
     return x
 
 
+TIME_KEYS = ("records_sec", "crawl_small_sec", "crawl_big_sec")
+RATE_FOR = {
+    "records_sec": ("records_per_sec",),
+    "crawl_small_sec": ("crawl_small_urls_per_sec",),
+    "crawl_big_sec": ("crawl_big_urls_per_sec",),
+}
+
+
 def _merge_best(trials: list[dict]) -> dict:
     best = dict(trials[0])
     for t in trials[1:]:
-        if t["records_sec"] < best["records_sec"]:
-            best["records_sec"] = t["records_sec"]
-            best["records_per_sec"] = t["records_per_sec"]
-        if t["crawl_sec"] < best["crawl_sec"]:
-            best["crawl_sec"] = t["crawl_sec"]
-            best["crawl_urls_per_sec"] = t["crawl_urls_per_sec"]
+        for key in TIME_KEYS:
+            if t[key] < best[key]:
+                best[key] = t[key]
+                for rk in RATE_FOR[key]:
+                    best[rk] = t[rk]
     return best
 
 
@@ -134,18 +177,24 @@ def main():
     hi_b = run_at(hi)
     r_lo = _merge_best([lo_a, lo_b])
     r_hi = _merge_best([hi_a, hi_b])
-    eff_records = (r_lo["records_sec"] / r_hi["records_sec"]) / (hi / lo)
-    eff_crawl = (r_lo["crawl_sec"] / r_hi["crawl_sec"]) / (hi / lo)
-    eff_norm = eff_records / ceiling if ceiling else eff_records
+
+    def eff(key):
+        return (r_lo[key] / r_hi[key]) / (hi / lo)
+
+    eff_records = eff("records_sec")
+    eff_small = eff("crawl_small_sec")
+    eff_big = eff("crawl_big_sec")
     result = {
-        "metric": "scaling_efficiency_records_pipeline",
-        "value": round(eff_records, 3),
+        "metric": "scaling_efficiency_crawl_rounds_large",
+        "value": round(eff_big, 3),
         "unit": "ratio",
         "lo": r_lo,
         "hi": r_hi,
         "efficiency_records": round(eff_records, 3),
-        "efficiency_records_vs_hardware_ceiling": round(eff_norm, 3),
-        "efficiency_crawl_rounds": round(eff_crawl, 3),
+        "efficiency_records_vs_hardware_ceiling": round(eff_records / ceiling, 3),
+        "efficiency_crawl_small": round(eff_small, 3),
+        "efficiency_crawl_large": round(eff_big, 3),
+        "efficiency_crawl_large_vs_hardware_ceiling": round(eff_big / ceiling, 3),
         "hardware_scaling_ceiling": ceiling,
     }
     print(json.dumps(result))
@@ -158,6 +207,12 @@ sandbox by running the identical job on the identical input at
 `local[{lo}]` and `local[{hi}]` (separate JVMs, warmed up), per
 BASELINE.md's sandbox substitution.
 
+**Hardware ceiling {ceiling:.3f}**: a pure-Python CPU burn at {lo} vs
+{hi} processes reaches only {ceiling:.0%} of the ideal {hi}/{lo}
+speedup on this host (SMT + host sharing). That cap applies to any
+job, so each raw efficiency below is also reported normalized to it.
+Levels are measured alternately, best-of-2 per level.
+
 ## Job 1 — record pipeline (generate → decode → verify → aggregate)
 
 The crawl fetch/decode hot path: {r_lo["records"]} image+caption
@@ -169,30 +224,36 @@ every payload decoded and verified, aggregated by format.
 | {lo} | {r_lo["records_sec"]} | {r_lo["records_per_sec"]} |
 | {hi} | {r_hi["records_sec"]} | {r_hi["records_per_sec"]} |
 
-**Scaling efficiency ({lo}→{hi} cores): {eff_records:.3f} raw;
-{eff_norm:.3f} normalized to this host's measured hardware ceiling**
-(target >= 0.8). The ceiling — a pure-Python CPU burn at {lo} vs
-{hi} processes, measured in the same session — reaches only
-{ceiling:.0%} of the ideal {hi}/{lo} speedup (SMT + host sharing), so
-the normalized figure is the engine's own scaling behavior with the
-shared-host effect factored out. Levels are measured alternately,
-best-of-2 per level, best-of-3 iterations per measurement.
+Scaling efficiency: **{eff_records:.3f} raw,
+{eff_records / ceiling:.3f} normalized** (target >= 0.8).
 
-## Job 2 — three full crawl rounds (800 seeds, Zipfian hosts)
+## Job 2 — crawl rounds, LARGE (25k seeds, ~57k URLs, 48-96px payloads)
 
-Includes the fixed per-round costs (politeness scheduling, Bloom
-build, checkpoint commit) that amortize with round size at the
-10^10-URL design point.
+The north-rule headline measurement: full crawl rounds (dedup →
+seen-set → politeness → fetch → checkpoint commit) at a round size
+where per-URL work amortizes the fixed per-round cost — the closest
+this sandbox gets to the 10^7+-URLs-per-round design point.
 
 | cores | wall sec | URLs fetched | URLs/sec |
 |---|---|---|---|
-| {lo} | {r_lo["crawl_sec"]} | {r_lo["crawl_fetched"]} | {r_lo["crawl_urls_per_sec"]} |
-| {hi} | {r_hi["crawl_sec"]} | {r_hi["crawl_fetched"]} | {r_hi["crawl_urls_per_sec"]} |
+| {lo} | {r_lo["crawl_big_sec"]} | {r_lo["crawl_big_fetched"]} | {r_lo["crawl_big_urls_per_sec"]} |
+| {hi} | {r_hi["crawl_big_sec"]} | {r_hi["crawl_big_fetched"]} | {r_hi["crawl_big_urls_per_sec"]} |
 
-Crawl-round efficiency: {eff_crawl:.3f} — dominated by fixed
-per-round latency at this tiny round size (hundreds of URLs/round vs
-the 10^7+/round design point); the record-pipeline number above is
-the per-URL work scaling.
+Scaling efficiency: **{eff_big:.3f} raw, {eff_big / ceiling:.3f}
+normalized** (target >= 0.8).
+
+## Job 3 — crawl rounds, SMALL (800 seeds, ~3.5k URLs)
+
+The fixed-overhead floor: at hundreds of URLs per round the ~1-2 s
+per-round job latencies dominate, so this size cannot scale and is
+reported for transparency, not as the north-rule evidence.
+
+| cores | wall sec | URLs fetched | URLs/sec |
+|---|---|---|---|
+| {lo} | {r_lo["crawl_small_sec"]} | {r_lo["crawl_small_fetched"]} | {r_lo["crawl_small_urls_per_sec"]} |
+| {hi} | {r_hi["crawl_small_sec"]} | {r_hi["crawl_small_fetched"]} | {r_hi["crawl_small_urls_per_sec"]} |
+
+Small-round efficiency: {eff_small:.3f} raw.
 
 Raw JSON: see `BENCH/scaling.json`.
 """

@@ -58,7 +58,8 @@ FRONTIER_SCHEMA = (
 FETCHED_SCHEMA = FRONTIER_SCHEMA + (
     ", seq long, fetch_ts_offset double, batch_id int, status int, "
     "target_number string, caption string, image_id string, bytes binary, "
-    "w int, h int, fmt string, phash long, hrefs array<string>"
+    "w int, h int, fmt string, phash long, "
+    "admitted array<struct<url string, surt string, host string>>"
 )
 
 MATCH_SCHEMA = "seed_id long, url string, surt string, target_number string, round int"
@@ -138,13 +139,27 @@ def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
 def _fetch_map(spec: CrawlSpec):
     """mapInPandas fetch stage: scheduled frontier batch in, fetched
     pages out. The synthetic fetcher is a pure function of the URL,
-    so this scales with executors and is exactly replayable."""
+    so this scales with executors and is exactly replayable.
+
+    Link ADMISSION also happens here (``admitted`` column): it is
+    per-page pure work, and running it inside the fetch pass keeps
+    the commit-time frontier derivation a JVM-only explode instead of
+    a second Python pass over every page. Pages at max depth skip it
+    entirely — their links can never expand."""
 
     def fetch(batches):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 page = syn.fetch_page(spec.web, row.url)
+                admitted = []
+                if page.status == 200 and row.depth < spec.max_depth:
+                    for href in syn.extract_links(page.html):
+                        absolute = admit_link(spec, row.url, row.host, href)
+                        if absolute is not None:
+                            admitted.append(
+                                (absolute, surt(absolute), host_of(absolute))
+                            )
                 out.append(
                     {
                         **{c: getattr(row, c) for c in pdf.columns},
@@ -157,13 +172,13 @@ def _fetch_map(spec: CrawlSpec):
                         "h": page.h,
                         "fmt": page.image_fmt if page.status == 200 else None,
                         "phash": page.phash,
-                        "hrefs": syn.extract_links(page.html),
+                        "admitted": admitted,
                     }
                 )
             yield pd.DataFrame(out) if out else pd.DataFrame(
                 columns=pdf.columns.tolist()
                 + ["status", "target_number", "caption", "image_id", "bytes",
-                   "w", "h", "fmt", "phash", "hrefs"]
+                   "w", "h", "fmt", "phash", "admitted"]
             )
 
     return fetch
@@ -203,7 +218,7 @@ class CrawlEngine:
     # construction (politeness.with_host_sequence) above this row count
     salted_politeness_threshold = 200_000
     # adaptive partition sizing
-    rows_per_task_cheap = 4096   # shuffle/window/probe stages
+    rows_per_task_cheap = 1024   # shuffle/window/probe stages (Python probe ~0.25ms/row)
     rows_per_task_fetch = 64     # the CPU-heavy fetch stage
 
     def __init__(
@@ -457,46 +472,34 @@ class CrawlEngine:
         if spec.early_exit:
             expandable = self._filter_unmatched(expandable, matches_cum)
 
-        def expand(batches):
-            for pdf in batches:
-                rows = []
-                for row in pdf.itertuples(index=False):
-                    hrefs = [] if row.hrefs is None else list(row.hrefs)
-                    for href in hrefs:
-                        absolute = admit_link(spec, row.url, row.host, href)
-                        if absolute is None:
-                            continue
-                        rows.append(
-                            {
-                                "round": round_no + 1,
-                                "url": absolute,
-                                "surt": surt(absolute),
-                                "host": host_of(absolute),
-                                "depth": row.depth + 1,
-                                "priority": float(row.depth + 1),
-                                "parent_url": row.url,
-                                "seed_id": row.seed_id,
-                            }
-                        )
-                yield pd.DataFrame(
-                    rows,
-                    columns=["round", "url", "surt", "host", "depth",
-                             "priority", "parent_url", "seed_id"],
-                )
-
-        next_frontier = expandable.select(
-            "url", "surt", "host", "depth", "priority", "seed_id", "hrefs"
-        ).mapInPandas(expand, schema=FRONTIER_SCHEMA)
+        # admission already ran inside the fetch pass (the ``admitted``
+        # struct column), so frontier derivation is a JVM-only explode
+        next_frontier = (
+            expandable.select(
+                "url", "depth", "seed_id", F.explode("admitted").alias("l")
+            )
+            .select(
+                F.lit(round_no + 1).cast("int").alias("round"),
+                F.col("l.url").alias("url"),
+                F.col("l.surt").alias("surt"),
+                F.col("l.host").alias("host"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                (F.col("depth") + 1).cast("double").alias("priority"),
+                F.col("url").alias("parent_url"),
+                "seed_id",
+            )
+        )
 
         # 9. canonical record table rows (input_hint schema). Scans of
         # the checkpointed fetch are coalesced so a small round does
         # not commit defaultParallelism near-empty files (small-file
         # problem at scale; footer-walk cost every round here).
-        write_parts = self._parts(n_frontier, 8192)
+        # records carry image BYTES (~KBs/row), so they get ~8x more
+        # writers than the thin metadata tables for the same row count.
         records = (
             fetched.where(F.col("status") == 200)
             .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-            .coalesce(write_parts)
+            .coalesce(self._parts(n_frontier, 1024))
         )
 
         metrics = {
@@ -559,7 +562,7 @@ class CrawlEngine:
                 round_no, frontier, matches, frontier_count=frontier_count
             )
             write_parts = self._parts(frontier_count, 8192)
-            fetch_log = fetched.drop("bytes", "hrefs", "caption").coalesce(
+            fetch_log = fetched.drop("bytes", "admitted", "caption").coalesce(
                 write_parts
             )
             manifest = self.store.commit(

@@ -100,58 +100,53 @@ def d01_exact_dup(spark, sf_dir):
     )
 
 
-@register(
-    "d02_shingle_jaccard",
+MAX_SHINGLE_DF = 64
+
+
+def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Pairs of docs with 3-gram-shingle Jaccard >= 0.3.
+
+    Candidate pairs come from a shuffle-join on the shingle (blocking
+    key) — only docs sharing a shingle ever meet. ``max_df`` caps the
+    blocking: shingles appearing in more than ``max_df`` documents are
+    dropped from the JOIN SIDE (set sizes stay exact), because one
+    stop-word shingle shared by D documents makes an O(D^2) hot bucket
+    in the self-join — quadratic death at corpus scale. The cap is a
+    documented conservative approximation: a pair whose every shared
+    shingle is ultra-common loses those shingles from its intersection
+    count and can drop below the threshold; pairs sharing any rarer
+    shingle are unaffected in candidacy (their ``i`` may shrink — the
+    DuckDB oracle applies the identical cap, so both engines agree
+    exactly).
     """
-    WITH lists AS (
-      SELECT doc_id, string_split(text, ' ') AS l FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, unnest(
-        CASE WHEN len(l) >= 3
-             THEN list_transform(range(1, len(l) - 1),
-                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
-             ELSE [l[1]] END) AS shingle
-      FROM lists
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
-    )
-    SELECT doc_a, doc_b
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)
-    """,
-)
-def d02_shingle_jaccard(spark, sf_dir):
-    """N-gram Jaccard dedup, exact: 3-gram shingle sets, pairs with
-    J >= 0.3. Candidate pairs come from a shuffle-join on the shingle
-    (blocking key) — only docs sharing a shingle ever meet. The
-    threshold is the integer cross-product 10·|A∩B| >= 3·|A∪B|."""
+    spark = docs.sparkSession
     # small parquet files arrive as one input split; the shingle
     # explode multiplies rows ~100x, so spread BEFORE exploding —
     # at 100 TB this is the difference between 1 task and N
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # carry the set size through the explode: the pair aggregation
-    # then needs no extra size joins (one shuffle on the shingle key,
-    # one on the pair key — nothing else)
+    # then needs no extra size joins.
     # localCheckpoint: the self-join would otherwise recompute the
     # shingle explode for both sides (measured 5x wall time at sf0.1)
     sh = _with_shingle_arr(docs).select(
         "doc_id", "sz", F.explode("arr").alias("shingle")
     ).localCheckpoint(eager=True)
+    # document-frequency cap: drop hot shingles before the self-join.
+    # The DF aggregate and the semi-join share the shingle key with
+    # the main join — co-partitioned, no extra shuffle pattern.
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    shc = sh.join(rare, on=["shingle"], how="inner")
     # the exploded relation is ~50x the parquet row-count the planner
     # sees, so Catalyst would wrongly broadcast it — force a shuffle
     # hash join on the shingle key (both sides are the same size; at
     # scale a sort-merge is equally fine, broadcast never is)
-    x = sh.alias("x")
-    y = sh.hint("shuffle_hash").alias("y")
+    x = shc.alias("x")
+    y = shc.hint("shuffle_hash").alias("y")
     inter = (
         x.join(
             y,
@@ -170,6 +165,47 @@ def d02_shingle_jaccard(spark, sf_dir):
     return inter.where(
         F.col("i") * 10 >= 3 * (F.col("sa") + F.col("sb") - F.col("i"))
     ).select("doc_a", "doc_b")
+
+
+@register(
+    "d02_shingle_jaccard",
+    f"""
+    WITH lists AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(l) >= 3
+             THEN list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+             ELSE [l[1]] END) AS shingle
+      FROM lists
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)
+    """,
+)
+def d02_shingle_jaccard(spark, sf_dir):
+    """N-gram Jaccard dedup, exact up to the hot-shingle cap: 3-gram
+    shingle sets, pairs with J >= 0.3, shingles with document
+    frequency > MAX_SHINGLE_DF excluded from blocking (see
+    shingle_jaccard_pairs). The threshold is the integer
+    cross-product 10·|A∩B| >= 3·|A∪B|."""
+    return shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:

@@ -30,43 +30,68 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_verify(records):
-    """records DF -> per-row decode verification (mapInPandas)."""
+def decode_verify(records, ref_seed: int | None = None):
+    """records DF -> per-row decode verification (mapInPandas).
+
+    With ``ref_seed`` given (the seed the record table was generated
+    from), every payload is verified AGAINST INDEPENDENTLY RE-DERIVED
+    reference pixels — ``syn.make_image`` from the record key, exactly
+    like ``tests/test_crawl_replay.py`` does — so ``psnr_db`` is a
+    genuine cross-derivation measurement (input_hint invariant:
+    decoded-pixel allclose, PSNR >= 40 dB) and a corrupted payload is
+    flagged. Without a seed (records of unknown provenance) the
+    reference is unavailable and ``psnr_db`` is NULL.
+
+    Any decode failure (unsupported modality, corrupt bytes) flags the
+    row instead of crashing the job — a crawl pipeline must tolerate
+    malformed payloads.
+    """
 
     def run(batches):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                base = {
+                    "image_id": row.image_id,
+                    "w": row.w,
+                    "h": row.h,
+                    "fmt": row.fmt,
+                    "caption_tokens": len((row.caption or "").split()),
+                }
                 try:
                     px = decode_image(bytes(row.bytes), row.fmt)
                     ok = px.shape == (row.h, row.w, 3)
-                    p = psnr(px, px)
+                    p = None
+                    if ref_seed is not None:
+                        idx = int(row.image_id.removeprefix("img"))
+                        ref = syn.make_image(syn.h64(ref_seed, "record", idx))
+                        ok = ok and ref.shape == px.shape
+                        p = (
+                            float(min(psnr(ref, px), 99.0)) if ok else 0.0
+                        )
+                        ok = ok and np.array_equal(ref, px)
                     out.append(
                         {
-                            "image_id": row.image_id,
-                            "w": row.w,
-                            "h": row.h,
-                            "fmt": row.fmt,
+                            **base,
                             "decode_ok": bool(ok),
-                            "psnr_db": float(min(p, 99.0)),
+                            "psnr_db": p,
                             "phash_match": bool(phash64(px) == row.phash),
-                            "caption_tokens": len((row.caption or "").split()),
                         }
                     )
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — flag, don't crash
                     out.append(
                         {
-                            "image_id": row.image_id,
-                            "w": row.w,
-                            "h": row.h,
-                            "fmt": row.fmt,
+                            **base,
                             "decode_ok": False,
-                            "psnr_db": 0.0,
+                            "psnr_db": 0.0 if ref_seed is not None else None,
                             "phash_match": False,
-                            "caption_tokens": len((row.caption or "").split()),
                         }
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "w", "h", "fmt", "decode_ok",
+                         "psnr_db", "phash_match", "caption_tokens"],
+            )
 
     return records.mapInPandas(run, schema=DECODE_SCHEMA)
 
@@ -74,9 +99,11 @@ def decode_verify(records):
 @register("m01_records_decode_verify")  # rows-only: binary payloads
 def m01_records_decode_verify(spark, sf_dir):
     """Generate the canonical record table distributively, decode every
-    payload, verify shape/phash — the per-row invariant pipeline."""
+    payload, verify pixels against the independently re-derived
+    reference (PSNR + allclose + phash) — the per-row invariant
+    pipeline."""
     records = syn.records_df(spark, N_RECORDS, seed=42)
-    return decode_verify(records).orderBy("image_id")
+    return decode_verify(records, ref_seed=42).orderBy("image_id")
 
 
 FEATURE_SCHEMA = (
@@ -171,7 +198,7 @@ def m04_modality_stub(spark, sf_dir):
         F.when(F.col("phash") % 3 == 0, F.lit("jpeg")).otherwise(F.col("fmt")),
     )
     return (
-        decode_verify(records)
+        decode_verify(records, ref_seed=7)
         .groupBy("fmt", "decode_ok")
         .agg(F.count("*").alias("n"))
         .orderBy("fmt", "decode_ok")

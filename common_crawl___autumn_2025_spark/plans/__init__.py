@@ -39,3 +39,27 @@ def register(name: str, oracle: str | None = None):
 
 def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def maybe_broadcast(df, sf_dir: str, table: str, limit: int = BROADCAST_LIMIT_BYTES):
+    """Broadcast hint ONLY while the table's on-disk size is under the
+    limit — a hint that is right at sf0.1 and an executor OOM at 100x
+    is worse than no hint. Above the limit the hint is dropped and
+    AQE/statistics pick the join strategy (sort-merge / shuffled
+    hash)."""
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [path] if os.path.isfile(path) else glob.glob(
+        os.path.join(path, "*.parquet")
+    )
+    size = sum(os.path.getsize(p) for p in paths)
+    if size <= limit:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df

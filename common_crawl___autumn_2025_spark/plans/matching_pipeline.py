@@ -112,11 +112,14 @@ def e03_matching_pipeline(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
-    n_entities = entities.count()
-    n_matched = matched.count()
-    recall = round(n_matched / n_entities, 4)
-    return matched.select(
+    # recall computed IN-PLAN (cross join of two single-row
+    # aggregates) — one execution, no driver-side count() scalars
+    stats = (
+        matched.agg(F.count("*").alias("__nm"))
+        .crossJoin(entities.agg(F.count("*").alias("__ne")))
+    )
+    return matched.crossJoin(F.broadcast(stats)).select(
         "entity_id",
         F.col("position").alias("matched_position"),
-        F.lit(recall).alias("recall"),
+        F.round(F.col("__nm") / F.col("__ne"), 4).alias("recall"),
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, maybe_broadcast, register
 
 ASOF = "2000-01-01"  # pinned "today" (vs reference's nondeterministic
                      # Timestamp.today(), Companies_House_EDA.py:44)
@@ -319,10 +319,12 @@ def j03_fuzzy_similarity_join(spark, sf_dir):
     keeps the theta-join quadratic blow-up per-block only."""
     part = load(spark, sf_dir, "part")
     # probe side spread across all cores (single small parquet file =
-    # one input split otherwise); build side broadcast -> the brand
-    # equi-key becomes a BroadcastHashJoin with the ratio as residual
+    # one input split otherwise); build side broadcast ONLY while part
+    # fits the size limit -> BroadcastHashJoin on the brand equi-key
+    # with the ratio as residual; at 100x the hint drops and the
+    # blocking key makes the sort-merge join equally efficient
     a = part.repartition(spark.sparkContext.defaultParallelism).alias("a")
-    b = F.broadcast(part.alias("b"))
+    b = maybe_broadcast(part.alias("b"), sf_dir, "part")
     la = F.length("a.p_name")
     lb = F.length("b.p_name")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -428,13 +430,17 @@ def j06_first_match_early_exit(spark, sf_dir):
 )
 def j07_equi_join_derived_key(spark, sf_dir):
     """J7: multi-hop equi join chain (ref exact-URL equality join,
-    Matching_with_recursion.py:434-435). Catalyst reorders; both dims
-    broadcast."""
+    Matching_with_recursion.py:434-435). Catalyst reorders. nation is
+    a bounded dimension (always broadcast); customer is NOT — its
+    hint is size-conditional, since forcing a broadcast that is right
+    at sf0.1 would OOM executors at 100x."""
     orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer")
+    customer = maybe_broadcast(
+        load(spark, sf_dir, "customer"), sf_dir, "customer"
+    )
     nation = load(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select("o_orderkey", "c_mktsegment", "n_name")
     )

@@ -91,3 +91,32 @@ def test_records_generator_deterministic():
         px = decode_image(r["bytes"], r["fmt"])
         assert px.shape == (r["h"], r["w"], 3)
         assert phash64(px) == r["phash"]
+
+
+def test_decode_verify_flags_corrupted_payload(spark):
+    """m01's per-row invariant is a real cross-derivation check:
+    mutate one payload byte -> that row (and only that row) is
+    flagged via PSNR/allclose vs the independently re-derived
+    reference pixels."""
+    from pyspark.sql import functions as F
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.operators.multimodal import (
+        decode_verify,
+    )
+
+    pdf = syn.records_pandas(24, seed=42)
+    # corrupt one mid-payload byte of row 5 (header intact so the
+    # decode itself may still succeed -> pixels must catch it)
+    b = bytearray(pdf.loc[5, "bytes"])
+    b[len(b) // 2] ^= 0xFF
+    pdf.loc[5, "bytes"] = bytes(b)
+    records = spark.createDataFrame(pdf)
+    out = {
+        r.image_id: r
+        for r in decode_verify(records, ref_seed=42).collect()
+    }
+    bad = out[pdf.loc[5, "image_id"]]
+    assert (not bad.decode_ok) or bad.psnr_db < 40.0 or not bad.phash_match
+    good = [r for iid, r in out.items() if iid != pdf.loc[5, "image_id"]]
+    assert all(r.decode_ok and r.psnr_db >= 40.0 and r.phash_match for r in good)

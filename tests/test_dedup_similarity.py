@@ -134,3 +134,32 @@ def test_phash_near_dup_self_consistency(spark, sf_dir):
     for r in out:
         assert r.hamming <= 16
         assert r.img_a < r.img_b
+
+
+def test_shingle_df_cap_bounds_hot_bucket(spark):
+    """A universal shingle planted across many docs must not create a
+    quadratic candidate bucket: with the cap, docs sharing ONLY the
+    hot shingle produce zero pairs, while genuinely-near-dup pairs
+    (sharing rare shingles) survive."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = []
+    # 300 unrelated docs that ALL share one stop-shingle prefix
+    for i in range(300):
+        uniq = " ".join(f"u{i}t{int(j)}" for j in rng.integers(0, 10000, size=20))
+        rows.append((i, "the common stop " + uniq))
+    # one genuine near-dup pair built from rare tokens
+    base = " ".join(f"rare{int(j)}" for j in rng.integers(0, 100, size=30))
+    rows.append((9001, base))
+    rows.append((9002, base + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in shingle_jaccard_pairs(docs, max_df=64).collect()
+    }
+    assert (9001, 9002) in pairs
+    # no pair among the 300 stop-shingle docs: the hot bucket is gone
+    assert not any(a < 300 and b < 300 for a, b in pairs)

@@ -85,7 +85,7 @@ def test_resume_equals_uninterrupted(spark, small_spec):
         nxt, fetched, matches, records, metrics = part.run_round(0, frontier, matches)
         part.store.commit(
             0,
-            {"frontier": nxt, "fetch_log": fetched.drop("bytes", "hrefs", "caption"),
+            {"frontier": nxt, "fetch_log": fetched.drop("bytes", "admitted", "caption"),
              "matches": matches, "records": records},
             metrics,
             small_spec.config_hash(),
