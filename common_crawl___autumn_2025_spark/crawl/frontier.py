@@ -52,7 +52,7 @@ from .seen import SeenSet
 
 FRONTIER_SCHEMA = (
     "round int, url string, surt string, host string, depth int, "
-    "priority double, parent_url string, seed_id long"
+    "priority double, parent_url string, seed_id long, retry_count int"
 )
 
 FETCHED_SCHEMA = FRONTIER_SCHEMA + (
@@ -82,6 +82,17 @@ class CrawlSpec:
     round_budget_s: float = 3600.0
     seen_shards: int = 16
     seen_bits_per_shard: int = 1 << 20
+    # transient-failure retry (reference: 3 retries with 60s backoff,
+    # Matching_P1.py:298-327); retry_max=0 disables re-enqueueing
+    retry_max: int = 0
+    retry_statuses: tuple[int, ...] = (429, 500, 502, 503)
+    retry_backoff_s: float = 60.0
+    # link-scope policy: the reference ships BOTH behaviors —
+    # "same_registered_domain" (P9: stay on the seed's site,
+    # company_number_scrape.py:38-40) and "exclude_same_netloc" (P8:
+    # never recurse within the same netloc — the matching-recursion
+    # pipeline only follows outward links, Scrape_Utils.py:20-22)
+    scope_mode: str = "same_registered_domain"
 
     def config_hash(self) -> str:
         """Hash of the fields that define crawl SEMANTICS / state
@@ -105,7 +116,8 @@ def image_id_for(surt_key: str) -> str:
 def admit_link(spec: CrawlSpec, page_url: str, page_host: str, href: str) -> str | None:
     """Admission decision for one extracted href; returns the
     canonical absolute URL if admitted, else None. Pure — shared
-    verbatim by the oracle crawler."""
+    verbatim by the oracle crawler. Scope policy per spec.scope_mode:
+    P9 same-registered-domain (default) or P8 exclude-same-netloc."""
     absolute = canonicalize(href, base=page_url)
     if not absolute:
         return None
@@ -117,7 +129,10 @@ def admit_link(spec: CrawlSpec, page_url: str, page_host: str, href: str) -> str
     link_dom = registered_domain(link_host)
     if link_dom in spec.blacklist_domains:  # P7
         return None
-    if link_dom != registered_domain(page_host):  # P9
+    if spec.scope_mode == "exclude_same_netloc":
+        if link_host == page_host:  # P8: never recurse within netloc
+            return None
+    elif link_dom != registered_domain(page_host):  # P9
         return None
     if not any(kw in href.lower() for kw in spec.keywords):  # P10
         return None
@@ -132,7 +147,7 @@ def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     rows = []
     for i, s in enumerate(seeds):
         cu = canonicalize(s)
-        rows.append((0, cu, surt(cu), host_of(cu), 0, 0.0, None, i))
+        rows.append((0, cu, surt(cu), host_of(cu), 0, 0.0, None, i, 0))
     return spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
 
@@ -151,7 +166,7 @@ def _fetch_map(spec: CrawlSpec):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                page = syn.fetch_page(spec.web, row.url)
+                page = syn.fetch_page(spec.web, row.url, attempt=row.retry_count)
                 admitted = []
                 if page.status == 200 and row.depth < spec.max_depth:
                     for href in syn.extract_links(page.html):
@@ -350,6 +365,18 @@ class CrawlEngine:
         parts_cheap = self._parts(n_frontier, self.rows_per_task_cheap)
         parts_fetch = self._parts(n_frontier, self.rows_per_task_fetch)
 
+        # 0. retry rows (re-enqueued transient failures) bypass dedup
+        # and the seen gate — they are already in the seen set by
+        # definition and the re-attempt is deliberate; early-exit
+        # still applies (a satisfied seed's retries are pointless).
+        fresh = frontier
+        retries = None
+        if spec.retry_max > 0:
+            fresh = frontier.where(F.col("retry_count") == 0)
+            retries = frontier.where(F.col("retry_count") > 0)
+            if spec.early_exit:
+                retries = self._filter_unmatched(retries, matches)
+
         # 1. in-round dedup by surt, canonical attribution tiebreak.
         # The explicit repartition sizes the shuffle to the round
         # (parts_cheap) and already satisfies the window's required
@@ -358,7 +385,7 @@ class CrawlEngine:
             "priority", "seed_id", F.coalesce("parent_url", F.lit(""))
         )
         cand = (
-            frontier.repartition(parts_cheap, "surt")
+            fresh.repartition(parts_cheap, "surt")
             .withColumn("__rn", F.row_number().over(dedup_w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
@@ -370,6 +397,8 @@ class CrawlEngine:
         # 3. early-exit: drop rows of already-satisfied seeds
         if spec.early_exit:
             unseen = self._filter_unmatched(unseen, matches)
+        if retries is not None:
+            unseen = unseen.unionByName(retries)
         # CRITICAL: truncate lineage BEFORE updating the seen set.
         # unseen's plan scans the seen-exact parquet path; the append
         # in seen.add() triggers Spark's recacheByPath on that path,
@@ -390,7 +419,9 @@ class CrawlEngine:
         def _add():
             try:
                 add_result["n"] = self.seen.add(
-                    unseen.select("surt"), round_no, assume_unique=True
+                    unseen.where(F.col("retry_count") == 0).select("surt"),
+                    round_no,
+                    assume_unique=True,
                 )
             except BaseException as e:  # noqa: BLE001 — re-raised on join
                 add_result["err"] = e
@@ -417,14 +448,29 @@ class CrawlEngine:
             host_w = Window.partitionBy("host").orderBy("priority", "surt")
             seqd = pre.withColumn(
                 "seq", F.row_number().over(host_w).cast("long")
+            ).withColumn(
+                "cum_retry_count",
+                F.sum("retry_count").over(
+                    host_w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
             )
         else:
             seqd = with_host_sequence(
-                allowed, partitions=self.partitions, cleanup=sched_cleanup
+                allowed,
+                partitions=self.partitions,
+                cleanup=sched_cleanup,
+                cumsum_col="retry_count",
             )
+        # fetch time: crawl-delay spacing plus the reference's backoff
+        # — a retried row delays the host's remaining queue by
+        # backoff_s per prior retry attempt (the reference sleeps
+        # inline in its per-site loop, Matching_P1.py:317-327), so the
+        # per-host gap never drops below the crawl delay.
         scheduled = (
             seqd.withColumn(
-                "fetch_ts_offset", (F.col("seq") - 1) * F.col("__delay")
+                "fetch_ts_offset",
+                (F.col("seq") - 1) * F.col("__delay")
+                + F.col("cum_retry_count") * F.lit(spec.retry_backoff_s),
             )
             .withColumn(
                 "batch_id",
@@ -432,7 +478,7 @@ class CrawlEngine:
                     F.col("fetch_ts_offset") / F.lit(spec.round_budget_s)
                 ).cast("int"),
             )
-            .drop("__robots_ok", "__delay")
+            .drop("__robots_ok", "__delay", "cum_retry_count")
         )
         fetched = scheduled.mapInPandas(
             _fetch_map(spec), schema=FETCHED_SCHEMA
@@ -487,8 +533,22 @@ class CrawlEngine:
                 (F.col("depth") + 1).cast("double").alias("priority"),
                 F.col("url").alias("parent_url"),
                 "seed_id",
+                F.lit(0).cast("int").alias("retry_count"),
             )
         )
+        if spec.retry_max > 0:
+            # transient failures re-enqueue into the next round with a
+            # bumped attempt counter, capped at retry_max
+            retry_next = fetched.where(
+                F.col("status").isin(list(spec.retry_statuses))
+                & (F.col("retry_count") < spec.retry_max)
+            ).select(
+                F.lit(round_no + 1).cast("int").alias("round"),
+                "url", "surt", "host", "depth", "priority", "parent_url",
+                "seed_id",
+                (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            )
+            next_frontier = next_frontier.unionByName(retry_next)
 
         # 9. canonical record table rows (input_hint schema). Scans of
         # the checkpointed fetch are coalesced so a small round does

@@ -47,20 +47,28 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
             robots[host] = syn.robots_for_host(spec.web, host)
         return robots[host]
 
-    # frontier rows: (url, surt, host, depth, priority, parent_url, seed_id)
+    # frontier rows:
+    # (url, surt, host, depth, priority, parent_url, seed_id, retry_count)
     frontier = []
     for i, s in enumerate(seeds):
         cu = canonicalize(s)
-        frontier.append((cu, surt(cu), host_of(cu), 0, 0.0, None, i))
+        frontier.append((cu, surt(cu), host_of(cu), 0, 0.0, None, i, 0))
 
     for round_no in range(spec.max_rounds):
         if not frontier:
             break
         res.rounds = round_no + 1
 
+        # 0. retries bypass dedup + seen gate (deliberate re-attempts
+        # of already-seen URLs); early exit still applies
+        fresh = [r for r in frontier if r[7] == 0]
+        retries = [r for r in frontier if r[7] > 0]
+        if spec.early_exit:
+            retries = [r for r in retries if r[6] not in res.matches]
+
         # 1. in-round dedup by surt, canonical attribution tiebreak
         best = {}
-        for row in frontier:
+        for row in fresh:
             key = row[1]
             tiebreak = (row[4], row[6], row[5] or "")
             if key not in best or tiebreak < best[key][0]:
@@ -72,9 +80,10 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
         if spec.early_exit:
             cand = [r for r in cand if r[6] not in res.matches]
 
-        # 4. attempted -> seen
+        # 4. attempted -> seen (fresh only; retries are already seen)
         for r in cand:
             res.seen.add(r[1])
+        cand = cand + retries
 
         # 5. robots exclusion + per-host politeness sequencing
         by_host: dict[str, list] = {}
@@ -91,9 +100,11 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
         for host in by_host:
             rows = sorted(by_host[host], key=lambda r: (r[4], r[1]))  # (priority, surt)
             _, delay = robots_for(host)
+            cum_retries = 0
             for seq, r in enumerate(rows, start=1):
-                page = syn.fetch_page(spec.web, r[0])
-                ts = (seq - 1) * delay
+                page = syn.fetch_page(spec.web, r[0], attempt=r[7])
+                cum_retries += r[7]
+                ts = (seq - 1) * delay + cum_retries * spec.retry_backoff_s
                 res.fetch_log.append(
                     (round_no, host, seq, r[1], r[0], r[3], r[6], page.status,
                      ts, page.target_number)
@@ -127,7 +138,14 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
                     continue
                 nxt.append(
                     (absolute, surt(absolute), host_of(absolute), r[3] + 1,
-                     float(r[3] + 1), r[0], r[6])
+                     float(r[3] + 1), r[0], r[6], 0)
                 )
+        # 8. transient-failure re-enqueue (bumped attempt, capped)
+        if spec.retry_max > 0:
+            for r, p in fetched:
+                if p.status in spec.retry_statuses and r[7] < spec.retry_max:
+                    nxt.append(
+                        (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7] + 1)
+                    )
         frontier = nxt
     return res

@@ -47,8 +47,14 @@ def with_host_sequence(
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("priority", "surt"),
     cleanup: list | None = None,
+    cumsum_col: str | None = None,
 ) -> DataFrame:
-    """Add ``seq`` (1-based per-host rank in canonical order).
+    """Add ``seq`` (1-based per-host rank in canonical order). With
+    ``cumsum_col`` given, also add ``cum_<col>``: the inclusive
+    running per-host sum of that column in the same canonical order
+    (used for cumulative retry-backoff offsets) — computed with the
+    identical local-rank + per-partition-offset construction, so it
+    is exact at any parallelism.
 
     CORRECTNESS NOTE: ``repartitionByRange`` samples its boundaries
     per *query execution* — two plans over the same lineage can land
@@ -72,13 +78,21 @@ def with_host_sequence(
     local_w = Window.partitionBy("__pid", host_col).orderBy(
         *[F.col(c) for c in order_cols]
     )
-    local = ranged.withColumn("__local_seq", F.row_number().over(local_w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    local = ranged.withColumn("__local_seq", F.row_number().over(local_w))
+    aggs = [F.count("*").alias("__cnt")]
+    if cumsum_col is not None:
+        local = local.withColumn(
+            "__local_cum",
+            F.sum(cumsum_col).over(
+                local_w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        aggs.append(F.sum(cumsum_col).alias("__sum"))
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
     if cleanup is not None:
         cleanup.append(local)
-    # tiny per-(pid, host) count table -> cumulative offsets
-    counts = local.groupBy("__pid", host_col).agg(F.count("*").alias("__cnt"))
+    # tiny per-(pid, host) count/sum table -> cumulative offsets
+    counts = local.groupBy("__pid", host_col).agg(*aggs)
     cum_w = (
         Window.partitionBy(host_col)
         .orderBy("__pid")
@@ -86,12 +100,24 @@ def with_host_sequence(
     )
     offsets = counts.withColumn(
         "__offset", F.coalesce(F.sum("__cnt").over(cum_w), F.lit(0))
-    ).select("__pid", host_col, "__offset")
-    return (
+    )
+    drop = ["__pid", "__local_seq", "__offset"]
+    if cumsum_col is not None:
+        offsets = offsets.withColumn(
+            "__sum_offset", F.coalesce(F.sum("__sum").over(cum_w), F.lit(0))
+        )
+        offsets = offsets.drop("__sum")
+        drop += ["__local_cum", "__sum_offset"]
+    offsets = offsets.drop("__cnt")
+    out = (
         local.join(F.broadcast(offsets), ["__pid", host_col])
         .withColumn("seq", (F.col("__offset") + F.col("__local_seq")).cast("long"))
-        .drop("__pid", "__local_seq", "__offset")
     )
+    if cumsum_col is not None:
+        out = out.withColumn(
+            f"cum_{cumsum_col}", F.col("__sum_offset") + F.col("__local_cum")
+        )
+    return out.drop(*drop)
 
 
 def schedule(

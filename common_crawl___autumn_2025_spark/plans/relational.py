@@ -206,6 +206,36 @@ def p07_blacklist_anti(spark, sf_dir):
 
 
 @register(
+    "p08_same_netloc_suppression",
+    """
+    SELECT event_id,
+           'h' || CAST(user_id % 50 AS VARCHAR) AS page_host,
+           'h' || CAST(event_id % 50 AS VARCHAR) AS link_host
+    FROM events
+    WHERE (user_id % 50) != (event_id % 50)
+    """,
+)
+def p08_same_netloc_suppression(spark, sf_dir):
+    """P8: never-recurse-within-the-same-netloc suppression (ref
+    Scrape_Utils.py:20-22 — the matching-recursion pipeline only
+    follows outward links). Predicate shape: derived page/link hosts,
+    keep only off-host pairs. The crawl engine's selectable
+    scope_mode='exclude_same_netloc' is the production form (replay
+    test pins it to the oracle)."""
+    ev = load(spark, sf_dir, "events")
+    page_host = F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
+    link_host = F.concat(F.lit("h"), (F.col("event_id") % 50).cast("string"))
+    return (
+        ev.select(
+            "event_id",
+            page_host.alias("page_host"),
+            link_host.alias("link_host"),
+        )
+        .where(F.col("page_host") != F.col("link_host"))
+    )
+
+
+@register(
     "p10_keyword_filter",
     """
     SELECT doc_id FROM documents

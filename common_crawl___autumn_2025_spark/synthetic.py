@@ -275,13 +275,18 @@ def _page_hrefs(cfg: WebConfig, host: str, path: str, i_host: int) -> list[str]:
     return hrefs
 
 
-def fetch_page(cfg: WebConfig, url: str) -> Page:
-    """THE synthetic fetcher: pure function (cfg, url) -> Page.
+def fetch_page(cfg: WebConfig, url: str, attempt: int = 0) -> Page:
+    """THE synthetic fetcher: pure function (cfg, url, attempt) -> Page.
 
     Plays the role of the reference's ``get_html``
     (``company_number_scrape.py:17-25``): returns status 200 + HTML,
     404 for nonexistent pages, or 503 for the deterministic failure
-    fraction (the reference silently drops failures, ``:46-47``).
+    fraction (the reference drops failures after 3 backoff retries,
+    ``Matching_P1.py:298-327``). ``attempt`` models transient
+    failures: the failure draw re-rolls per attempt (attempt 0 keeps
+    the historical hash so existing traces are unchanged), while page
+    CONTENT is attempt-independent — a retry that succeeds sees the
+    same page the first attempt would have.
     """
     cu = canonicalize(url)
     s = surt(cu)
@@ -307,7 +312,12 @@ def fetch_page(cfg: WebConfig, url: str) -> Page:
     )
     if not valid:
         return page
-    if (h64(cfg.seed, "fail", s) % 10_000) < cfg.fetch_failure_rate * 10_000:
+    fail_key = (
+        h64(cfg.seed, "fail", s)
+        if attempt == 0
+        else h64(cfg.seed, "fail", s, attempt)
+    )
+    if (fail_key % 10_000) < cfg.fetch_failure_rate * 10_000:
         page.status = 503
         return page
 

@@ -200,3 +200,70 @@ def test_salted_politeness_path_identical(spark, spec, seeds, oracle_result):
         assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_retry_backoff_replay_identical(spark):
+    """Transient-failure retry semantics (reference: 3 retries, 60s
+    backoff, Matching_P1.py:298-327): with a high failure rate and
+    retry_max=3, the engine's fetch log — including re-attempt rows
+    and backoff-shifted politeness offsets — must equal the oracle's,
+    and some retries must actually succeed."""
+    spec_r = CrawlSpec(
+        web=syn.WebConfig(n_hosts=25, fetch_failure_rate=0.25),
+        max_depth=1, max_rounds=4, retry_max=3, retry_backoff_s=60.0,
+    )
+    seeds_r = syn.seed_urls(spec_r.web, 20)
+    o = oracle.crawl(spec_r, seeds_r)
+    root = tempfile.mkdtemp(prefix="crawl_retry_")
+    try:
+        eng = CrawlEngine(spark, spec_r, root, partitions=4)
+        eng.run(seeds_r)
+        got = _engine_fetch_log(eng)
+        assert got == sorted(o.fetch_log)
+        # the scenario exercised real retries: same surt fetched in
+        # multiple rounds, at least one eventually succeeding
+        by_surt = {}
+        for row in got:
+            by_surt.setdefault(row[3], []).append(row)
+        multi = {s: rows for s, rows in by_surt.items() if len(rows) > 1}
+        assert multi, "no retries happened — scenario too easy"
+        assert any(
+            any(r[7] == 200 for r in rows) and any(r[7] == 503 for r in rows)
+            for rows in multi.values()
+        ), "no retry ever recovered"
+        # backoff visible: a retried row's offset includes the 60s term
+        assert any(
+            r[8] >= 60.0 for rows in multi.values() for r in rows[1:]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_exclude_same_netloc_scope_mode(spark):
+    """P8 scope mode (Scrape_Utils.py:20-22): with
+    scope_mode='exclude_same_netloc' every expanded link leaves its
+    page's netloc, and the trace still equals the oracle's (which
+    shares admit_link, so this exercises the distributed plumbing
+    under the alternate policy)."""
+    spec_p8 = CrawlSpec(
+        web=syn.WebConfig(n_hosts=20), max_depth=1, max_rounds=3,
+        scope_mode="exclude_same_netloc",
+    )
+    seeds_p8 = syn.seed_urls(spec_p8.web, 15)
+    o = oracle.crawl(spec_p8, seeds_p8)
+    root = tempfile.mkdtemp(prefix="crawl_p8_")
+    try:
+        eng = CrawlEngine(spark, spec_p8, root, partitions=4)
+        eng.run(seeds_p8)
+        assert _engine_fetch_log(eng) == sorted(o.fetch_log)
+        # every depth-1 fetch is on a different netloc than its parent
+        for r in range(1, eng.store.latest_round() + 1):
+            for row in eng.store.read_table(r - 1, "frontier").collect():
+                if row.parent_url is not None:
+                    from common_crawl___autumn_2025_spark.canonical import (
+                        host_of,
+                    )
+
+                    assert row.host != host_of(row.parent_url)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
