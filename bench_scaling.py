@@ -109,7 +109,26 @@ spark.stop()
 """
 
 
+def wait_for_quiet(max_load: float = 6.0, timeout_s: int = 900) -> float:
+    """This sandbox shares a host with other tenants whose load comes
+    and goes; a local[32] trial needs the whole box while local[8]
+    fits into spare capacity, so measuring during a neighbor's burst
+    systematically penalizes the high-parallelism level. Gate each
+    trial on a quiet 1-minute load average (or give up after the
+    timeout and measure anyway, recording the load)."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load <= max_load:
+            return load
+        time.sleep(20)
+    return os.getloadavg()[0]
+
+
 def run_at(cores: int) -> dict:
+    load = wait_for_quiet()
     code = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores)],
@@ -120,7 +139,9 @@ def run_at(cores: int) -> dict:
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            r["loadavg_at_start"] = round(load, 2)
+            return r
     raise RuntimeError(f"worker failed at {cores}: {out.stderr[-2000:]}")
 
 
@@ -163,20 +184,24 @@ def _merge_best(trials: list[dict]) -> dict:
                 best[key] = t[key]
                 for rk in RATE_FOR[key]:
                     best[rk] = t[rk]
+    best["loadavg_trials"] = [t.get("loadavg_at_start") for t in trials]
+    best.pop("loadavg_at_start", None)
     return best
 
 
 def main():
     lo, hi = 8, 32
+    wait_for_quiet()
     ceiling = round(hardware_ceiling(lo, hi), 3)
-    # the host is shared/noisy: alternate levels and take best-of-2
-    # per level so both levels sample comparable load windows
-    lo_a = run_at(lo)
-    hi_a = run_at(hi)
-    lo_b = run_at(lo)
-    hi_b = run_at(hi)
-    r_lo = _merge_best([lo_a, lo_b])
-    r_hi = _merge_best([hi_a, hi_b])
+    # the host is shared/noisy: gate every trial on a quiet load
+    # average, alternate levels, and take best-of-3 per level so both
+    # levels sample comparable load windows
+    trials_lo, trials_hi = [], []
+    for _ in range(3):
+        trials_lo.append(run_at(lo))
+        trials_hi.append(run_at(hi))
+    r_lo = _merge_best(trials_lo)
+    r_hi = _merge_best(trials_hi)
 
     def eff(key):
         return (r_lo[key] / r_hi[key]) / (hi / lo)
