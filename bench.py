@@ -53,8 +53,11 @@ def bench_crawl(spark, partitions: int) -> dict:
         CrawlSpec,
     )
 
+    # 2000 hosts (~9k URLs over 3 depth-2 rounds): large enough that
+    # the per-URL work amortizes the fixed per-round cost, small
+    # enough to keep the driver's per-round bench under ~20s
     spec = CrawlSpec(
-        web=syn.WebConfig(n_hosts=int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "800"))),
+        web=syn.WebConfig(n_hosts=int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "2000"))),
         max_depth=2,
         max_rounds=3,
     )
