@@ -228,3 +228,146 @@ def v03_ann_lsh_bucketed(spark, sf_dir):
     planes = hyperplanes(dim=64)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ann_topk(emb, q, planes)
+
+
+# -- IVF-Flat ---------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+_R6_COS = (
+    "floor(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
+)
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+asn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_R6_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_R6_COS.format(a='q.qv', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= {N_PROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS hit_id
+  FROM probes p JOIN asn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.hit_id,
+         {_R6_COS.format(a='qe.v', b='he.v')} AS cosine
+  FROM cands c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e he ON he.vec_id = c.hit_id
+)
+SELECT query_id, hit_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, hit_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+def ivf_assign_udfs(centroids: np.ndarray, nprobe: int):
+    """(cell_udf, probes_udf) against a fixed centroid matrix.
+
+    Assignment scores are cosine rounded to 6 dp with first-max
+    (lowest centroid id) tiebreak — the identical rule the SQL oracle
+    expresses with row_number, so both engines agree bit-for-bit even
+    under FP near-ties."""
+    cmat = centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def scores(vecs: pd.Series) -> np.ndarray:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        s = (m @ cmat.T) / (np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :])
+        return np.floor(s * 1_000_000 + 0.5) / 1_000_000
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(scores(vecs), axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        s = scores(vecs)
+        n, c = s.shape
+        order = np.lexsort((np.tile(np.arange(c), (n, 1)), -s), axis=1)
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return cell_udf, probes_udf
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = N_PROBE,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: assign every corpus vector to its
+    nearest centroid cell (one Arrow pass, centroids broadcast in the
+    UDF closure), probe the query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside the probed cells only. One shuffle keyed by
+    cell; candidate volume is corpus_size * nprobe / n_cells per
+    query instead of the full corpus. The 10^10-scale shape is the
+    standard IVF-Flat index (centroids from a seeded sample — k-means
+    refinement drops in without changing the plan)."""
+    cell_udf, probes_udf = ivf_assign_udfs(centroids, nprobe)
+    corpus = emb.select(
+        F.col(id_col).alias("hit_id"),
+        F.col("embedding").alias("cv"),
+        cell_udf(F.col("embedding")).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(probes_udf(F.col("embedding"))).alias("cell"),
+    )
+    cands = corpus.join(probed, on=["cell"]).where(
+        F.col("query_id") != F.col("hit_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "hit_id",
+        r6(cosine_udf(F.col("qv"), F.col("cv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("hit_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "hit_id", "cosine")
+    )
+
+
+@register("v04_ann_ivf_flat", _IVF_ORACLE)
+def v04_ann_ivf_flat(spark, sf_dir):
+    """IVF-Flat ANN (the survey's alternative scale path to LSH):
+    deterministic centroids = the first N_CELLS corpus vectors (the
+    standard sampled-centroid IVF init, made seed-free so the DuckDB
+    oracle reproduces it exactly), nprobe-cell probing, exact re-rank
+    within probed cells. Fully oracle-checked — assignment, probing,
+    and ranking all use the same rounded-cosine + id tiebreak on both
+    engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < N_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, q, centroids)

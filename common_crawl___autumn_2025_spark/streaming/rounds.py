@@ -43,9 +43,7 @@ def st01_tumbling_window(spark, sf_dir):
     )
 
 
-@register(
-    "st02_sessionization",
-    """
+_SESSION_ORACLE = """
     WITH gaps AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
@@ -60,8 +58,10 @@ def st01_tumbling_window(spark, sf_dir):
              AS session_id,
            event_id
     FROM gaps
-    """,
-)
+    """
+
+
+@register("st02_sessionization", _SESSION_ORACLE)
 def st02_sessionization(spark, sf_dir):
     """Session windows via gap detection (30-min inactivity): the
     relational form of session_window / applyInPandasWithState —
@@ -80,6 +80,115 @@ def st02_sessionization(spark, sf_dir):
             "event_id",
         )
     )
+
+
+@register("st03_stateful_sessionization", _SESSION_ORACLE)
+def st03_stateful_sessionization(spark, sf_dir):
+    """Catalog face of the applyInPandasWithState sessionizer: a TRUE
+    stateful Structured Streaming run (3 micro-batches, state carried
+    across them) whose output is defined to equal the batch window
+    sessionization — so it shares st02's oracle and is fully
+    value-checked by the driver."""
+    return stream_sessionize_stateful(spark, sf_dir)
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    n_files: int = 3,
+) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR: sessionization via
+    ``applyInPandasWithState`` (SURVEY §2.9) — per-user state
+    ``(last_ts, session_id)`` carried ACROSS micro-batches.
+
+    The events table is staged into ``n_files`` time-range files with
+    ascending mtimes and consumed with ``maxFilesPerTrigger=1``, so a
+    user's session genuinely spans micro-batches and the state store
+    is doing real work (a single-batch run would never exercise the
+    carry-over). The result must equal the batch sessionization
+    (st02) exactly — asserted by tests/test_entry_and_streaming.py.
+
+    Time-range staging guarantees per-user batch arrival in global ts
+    order, which is what makes cross-batch session numbering
+    deterministic (the same property event-time ordering gives a
+    production stream within a watermark)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    stage_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    work_dir = tempfile.mkdtemp(prefix="stream_sess_w_")
+    # split by global event-time range so sessions span batches
+    bucketed = batch.withColumn(
+        "__b",
+        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+    )
+    now = time.time()
+    for i in range(1, n_files + 1):
+        part = os.path.join(work_dir, f"b{i}")
+        bucketed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(part, files[0]), dst)
+        os.utime(dst, (now + i, now + i))  # ascending arrival order
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage_dir)
+    )
+
+    def sessionize(key, pdfs, state):
+        (user_id,) = key
+        last_ts, sess = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_sess, out_eid = [], []
+        for ts, eid in zip(rows["ts"], rows["event_id"]):
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_s:
+                sess += 1
+            last_ts = t
+            out_sess.append(sess)
+            out_eid.append(eid)
+        state.update((float(last_ts), int(sess)))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_id": pd.Series(out_sess, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, session_id long, event_id long",
+        stateStructType="last_ts double, session_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_sessionize_stateful_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ caption STRING, phash BIGINT``.
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -210,16 +211,15 @@ def seed_urls(cfg: WebConfig, n_seeds: int) -> list[str]:
 
 
 def _host_index(cfg: WebConfig, host: str) -> int | None:
-    # invert host_name: acme{i:04d}
+    # invert host_name: acme{i:04d} (4-digit zero-pad below 10000,
+    # naturally longer above — parse all digits, not a fixed slice)
     h = host.lower()
     if h.startswith("www."):
         h = h[4:]
-    if not h.startswith("acme"):
+    m = re.match(r"acme(\d+)\.", h)
+    if not m:
         return None
-    try:
-        i = int(h[4:8])
-    except ValueError:
-        return None
+    i = int(m.group(1))
     if 0 <= i < cfg.n_hosts and host_name(cfg, i).endswith(h):
         return i
     return None

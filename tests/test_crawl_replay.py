@@ -267,3 +267,23 @@ def test_exclude_same_netloc_scope_mode(spark):
                     assert row.host != host_of(row.parent_url)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_retry_backoff_salted_path_identical(spark):
+    """Retries + the range-salted politeness construction: the
+    distributed running retry-sum (with_host_sequence cumsum) must
+    reproduce the oracle's cumulative backoff offsets exactly."""
+    spec_rs = CrawlSpec(
+        web=syn.WebConfig(n_hosts=25, fetch_failure_rate=0.25),
+        max_depth=1, max_rounds=3, retry_max=2, retry_backoff_s=60.0,
+    )
+    seeds_rs = syn.seed_urls(spec_rs.web, 20)
+    o = oracle.crawl(spec_rs, seeds_rs)
+    root = tempfile.mkdtemp(prefix="crawl_retry_salted_")
+    try:
+        eng = CrawlEngine(spark, spec_rs, root, partitions=4)
+        eng.salted_politeness_threshold = 0  # force the salted path
+        eng.run(seeds_rs)
+        assert _engine_fetch_log(eng) == sorted(o.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -163,3 +163,53 @@ def test_shingle_df_cap_bounds_hot_bucket(spark):
     assert (9001, 9002) in pairs
     # no pair among the 300 stop-shingle docs: the hot bucket is gone
     assert not any(a < 300 and b < 300 for a, b in pairs)
+
+
+def test_ivf_recall_on_planted_neighbors(spark):
+    """IVF-Flat ANN retrieves planted near-duplicates: a query that is
+    a tiny perturbation of corpus vector i lands in the same probed
+    cells and i comes back as the top hit."""
+    from common_crawl___autumn_2025_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    base = rng.normal(size=(120, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    queries = []
+    for i in range(10):
+        v = base[i] + rng.normal(scale=0.01, size=64).astype("float32")
+        queries.append((500 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    centroids = base[:16].astype("float64")  # sampled-centroid init
+    got = ivf_topk(emb, qdf, centroids, nprobe=4, k=1)
+    top1 = {r.query_id: r.hit_id for r in got.collect()}
+    hits = sum(1 for i in range(10) if top1.get(500 + i) == i)
+    assert hits >= 9, f"IVF missed planted neighbors: {top1}"
+
+
+def test_ivf_candidate_volume_bounded(spark):
+    """The IVF join only compares a query against its probed cells:
+    candidate count per query is far below the corpus size (the
+    all-pairs collapse LSH/IVF exist to avoid)."""
+    from common_crawl___autumn_2025_spark.operators.similarity import (
+        ivf_assign_udfs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    base = rng.normal(size=(400, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cell_udf, _ = ivf_assign_udfs(base[:16].astype("float64"), nprobe=4)
+    sizes = (
+        emb.select(cell_udf("embedding").alias("cell"))
+        .groupBy("cell").count().collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert total == 400
+    # 4 probed cells of ~25 avg -> ~100 candidates/query vs 400 corpus
+    assert max(r["count"] for r in sizes) < 400 / 2

@@ -81,3 +81,24 @@ def test_approx_distinct_within_bound(spark, sf_dir):
 
     row = QUERIES["a16_approx_distinct"](spark, sf_dir).collect()[0]
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
+
+
+def test_stateful_sessionization_equals_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization across 3 time-split
+    micro-batches == the batch window sessionization (st02): per-user
+    state genuinely carries over batch boundaries."""
+    from common_crawl___autumn_2025_spark.plans.catalog import QUERIES
+    from common_crawl___autumn_2025_spark.streaming.rounds import (
+        stream_sessionize_stateful,
+    )
+
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.session_id
+        for r in QUERIES["st02_sessionization"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
