@@ -18,8 +18,8 @@ Jobs measured:
    the fixed per-round cost (scheduling, Bloom build, checkpoint
    commit), i.e. the overhead floor, NOT a scaling-representative
    round size.
-3. **crawl (large)** — full rounds at 25k seeds / ~57k URLs with
-   48-96px image payloads: enough per-URL work that the fixed
+3. **crawl (large)** — two full rounds at 60k seeds / ~260k URLs
+   with 48-96px image payloads: enough per-URL work that the fixed
    per-round cost amortizes, the closest this sandbox gets to the
    10^7+-URLs-per-round design point. THIS is the north-rule
    measurement.
@@ -89,10 +89,10 @@ small_spec = CrawlSpec(web=syn.WebConfig(n_hosts=800), max_depth=1, max_rounds=3
 small_sec, small_fetched = crawl_once(small_spec, 800)
 
 big_spec = CrawlSpec(
-    web=syn.WebConfig(n_hosts=25000, image_min=48, image_max=96),
-    max_depth=1, max_rounds=3,
+    web=syn.WebConfig(n_hosts=60000, image_min=48, image_max=96),
+    max_depth=1, max_rounds=2,
 )
-big_sec, big_fetched = crawl_once(big_spec, 25000)
+big_sec, big_fetched = crawl_once(big_spec, 60000)
 
 print(json.dumps({{
     "cores": cores, "records": N,
@@ -252,7 +252,7 @@ every payload decoded and verified, aggregated by format.
 Scaling efficiency: **{eff_records:.3f} raw,
 {eff_records / ceiling:.3f} normalized** (target >= 0.8).
 
-## Job 2 — crawl rounds, LARGE (25k seeds, ~57k URLs, 48-96px payloads)
+## Job 2 — crawl rounds, LARGE (60k seeds, ~260k URLs, 48-96px payloads)
 
 The north-rule headline measurement: full crawl rounds (dedup →
 seen-set → politeness → fetch → checkpoint commit) at a round size
