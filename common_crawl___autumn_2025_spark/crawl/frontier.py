@@ -143,12 +143,37 @@ def admit_link(spec: CrawlSpec, page_url: str, page_host: str, href: str) -> str
 
 def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     """Round-0 frontier from an ordered seed list (order is the
-    reference's contract — ``company_number_scrape.py:13,43``)."""
-    rows = []
-    for i, s in enumerate(seeds):
-        cu = canonicalize(s)
-        rows.append((0, cu, surt(cu), host_of(cu), 0, 0.0, None, i, 0))
-    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    reference's contract — ``company_number_scrape.py:13,43``).
+    Canonicalization runs DISTRIBUTED (Arrow pass): a driver loop over
+    the seed list is ~0.1 ms/seed — minutes at the 10^7-seed design
+    point."""
+    raw = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "seed_id long, raw string"
+    )
+
+    def canon(batches):
+        for pdf in batches:
+            cu = pdf["raw"].map(canonicalize)
+            yield pd.DataFrame(
+                {
+                    "round": 0,
+                    "url": cu,
+                    "surt": cu.map(surt),
+                    "host": cu.map(host_of),
+                    "depth": 0,
+                    "priority": 0.0,
+                    "parent_url": None,
+                    "seed_id": pdf["seed_id"],
+                    "retry_count": 0,
+                }
+            )
+
+    parts = max(1, min(
+        spark.sparkContext.defaultParallelism, -(-len(seeds) // 2048)
+    ))
+    return raw.repartition(parts, "seed_id").mapInPandas(
+        canon, schema=FRONTIER_SCHEMA
+    )
 
 
 def _fetch_map(spec: CrawlSpec):
@@ -276,13 +301,16 @@ class CrawlEngine:
         self.partitions = partitions or spark.sparkContext.defaultParallelism
         self._matched_ids: set[int] = set()
         self.robots_dict: dict | None = None
+        self.robots_webcfg = None
         self.robots = None
         if robots is None:
-            pdf = syn.robots_pandas(spec.web)
-            self.robots_dict = {
-                r.host: (tuple(r.disallow), float(r.crawl_delay))
-                for r in pdf.itertuples(index=False)
-            }
+            # default robots derive from the web config's pure
+            # function — compute them LAZILY inside the executor flags
+            # pass (per-worker host cache) instead of materializing
+            # every host's rules on the driver (at 10^5+ hosts the
+            # driver loop is a multi-second fixed cost per run; at the
+            # design point it is minutes)
+            self.robots_webcfg = spec.web
         else:
             probe = robots.limit(self.robots_dict_limit + 1).collect()
             if len(probe) <= self.robots_dict_limit:
@@ -290,10 +318,9 @@ class CrawlEngine:
                     r["host"]: (tuple(r["disallow"]), float(r["crawl_delay"]))
                     for r in probe
                 }
+                self._robots_bc = spark.sparkContext.broadcast(self.robots_dict)
             else:  # huge robots config: keep the broadcast-join path
                 self.robots = robots
-        if self.robots_dict is not None:
-            self._robots_bc = spark.sparkContext.broadcast(self.robots_dict)
 
     def _parts(self, n_rows: int, rows_per_task: int) -> int:
         return max(1, min(self.partitions, -(-max(n_rows, 1) // rows_per_task)))
@@ -330,20 +357,31 @@ class CrawlEngine:
         schema_fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        if self.robots_dict is not None:
-            bc = self._robots_bc
+        if self.robots_dict is not None or self.robots_webcfg is not None:
+            bc = self._robots_bc if self.robots_dict is not None else None
+            webcfg = self.robots_webcfg
 
             def flags(batches):
-                robots = bc.value
+                if bc is not None:
+                    robots = bc.value
+                    lookup = lambda h: robots.get(h, ((), 1.0))  # noqa: E731
+                else:
+                    cache: dict = {}
+
+                    def lookup(h):
+                        if h not in cache:
+                            cache[h] = syn.robots_for_host(webcfg, h)
+                        return cache[h]
+
                 for pdf in batches:
                     ok, delay = [], []
                     for url, host in zip(pdf["url"], pdf["host"]):
-                        disallow, d = robots.get(host, ((), 1.0))
+                        disallow, d = lookup(host)
                         rest = url.split("://", 1)[1]
                         path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
                         path = path.split("?", 1)[0]
                         ok.append(not any(path.startswith(p) for p in disallow))
-                        delay.append(d)
+                        delay.append(float(d))
                     yield pdf.assign(
                         __robots_ok=pd.Series(ok, index=pdf.index, dtype=bool),
                         __delay=pd.Series(delay, index=pdf.index, dtype=float),

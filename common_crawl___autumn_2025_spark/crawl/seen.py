@@ -352,6 +352,23 @@ class SeenSet:
             flagged = frontier.mapInPandas(
                 probe, schema=schema_fields + ", __bloom_maybe boolean"
             )
+            # ONE pass over the probe output: an anti join whose
+            # condition is (surt match AND bloom-positive). Bloom
+            # negatives match nothing and pass through; positives are
+            # exactly confirmed. The two-branch union form would run
+            # the Python probe once per branch.
+            seen_keys = self.exact_df().select(
+                F.col(surt_col).alias("__seen_surt")
+            )
+            return (
+                flagged.join(
+                    seen_keys,
+                    (F.col(surt_col) == F.col("__seen_surt"))
+                    & F.col("__bloom_maybe"),
+                    how="left_anti",
+                )
+                .select(*cols)
+            )
         else:  # shard-partitioned probe: task-local bitmap loads
             bloom_dir = os.path.join(self.path, "bloom")
             parallelism = self.spark.sparkContext.defaultParallelism

@@ -287,3 +287,19 @@ def test_retry_backoff_salted_path_identical(spark):
         assert _engine_fetch_log(eng) == sorted(o.fetch_log)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_explicit_robots_dataframe_identical(spark, spec, seeds, oracle_result):
+    """Passing robots as a DataFrame (the dict-broadcast path) must
+    produce the same trace as the default lazy per-worker computation."""
+    robots_df = spark.createDataFrame(
+        syn.robots_pandas(spec.web),
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    root = tempfile.mkdtemp(prefix="crawl_robotsdf_")
+    try:
+        eng = CrawlEngine(spark, spec, root, robots=robots_df, partitions=4)
+        eng.run(seeds)
+        assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
