@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seen-shards", type=int, default=16)
+    ap.add_argument("--seen-bits", type=int, default=1 << 20)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -54,6 +56,8 @@ def main() -> None:
         web=syn.WebConfig(seed=args.seed, n_hosts=args.hosts),
         max_depth=args.depth,
         max_rounds=args.rounds,
+        seen_shards=args.seen_shards,
+        seen_bits_per_shard=args.seen_bits,
     )
     seeds = syn.seed_urls(spec.web, args.seeds)
     t0 = time.time()
