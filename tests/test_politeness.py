@@ -64,3 +64,62 @@ def test_host_sequence_no_rows_lost_repeated_runs(spark):
         for c in cleanup:
             c.unpersist()
     assert counts == {len(rows)}
+
+
+def test_round_budget_splits_batches(spark):
+    """A host queue longer than the round budget splits into batches:
+    batch_id = floor(offset / budget), every batch's offsets fit the
+    budget window, and the per-host sequence stays dense across the
+    split (§2.9 rate-limiting semantics)."""
+    from common_crawl___autumn_2025_spark.crawl.politeness import schedule
+
+    rows = [("hot.com", 0.0, f"surt{i:04d}") for i in range(50)]
+    rows += [("cold.com", 0.0, f"surt{i:04d}") for i in range(3)]
+    df = spark.createDataFrame(
+        [(h, p, s, f"http://{h}/{s}") for h, p, s in rows],
+        "host string, priority double, surt string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("hot.com", [], 2.0), ("cold.com", [], 2.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    out = schedule(df, robots, partitions=4, round_budget_s=20.0).collect()
+    hot = sorted((r.seq, r.fetch_ts_offset, r.batch_id)
+                 for r in out if r.host == "hot.com")
+    assert [s for s, _, _ in hot] == list(range(1, 51))  # dense seq
+    for seq, off, batch in hot:
+        assert off == (seq - 1) * 2.0
+        assert batch == int(off // 20.0)
+    assert max(b for _, _, b in hot) == 4  # 98s of queue / 20s budget
+    assert all(r.batch_id == 0 for r in out if r.host == "cold.com")
+
+
+def test_cumsum_matches_single_thread(spark):
+    """with_host_sequence's distributed running sum (used for retry
+    backoff) equals a single-thread cumulative sum at any parallelism."""
+    rows = _frontier_rows(rows=2000, seed=5)
+    with_rc = [(h, p, s, int(s[-1]) % 3) for h, p, s in rows]
+    df = spark.createDataFrame(
+        with_rc, "host string, priority double, surt string, retry_count int"
+    )
+    by_host = {}
+    for h, p, s, rc in with_rc:
+        by_host.setdefault(h, []).append((p, s, rc))
+    expected = {}
+    for h, items in by_host.items():
+        cum = 0
+        for p, s, rc in sorted(items):
+            cum += rc
+            expected[(h, s)] = cum
+    for parts in (3, 16):
+        cleanup = []
+        got = {
+            (r.host, r.surt): r.cum_retry_count
+            for r in with_host_sequence(
+                df, partitions=parts, cleanup=cleanup,
+                cumsum_col="retry_count",
+            ).collect()
+        }
+        for c in cleanup:
+            c.unpersist()
+        assert got == expected, f"cumsum mismatch at partitions={parts}"
