@@ -52,11 +52,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
+def _paeth_scalar(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -90,20 +91,30 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = row
         elif ftype == 2:  # Up
             out[y] = row + prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor recurrence
-            cur = out[y]
-            for x in range(stride):
-                left = cur[x - 3] if x >= 3 else 0
-                up = prev[x]
-                ul = prev[x - 3] if x >= 3 else 0
-                if ftype == 1:
-                    cur[x] = row[x] + left
-                elif ftype == 3:
-                    cur[x] = row[x] + ((int(left) + int(up)) >> 1)
-                else:
-                    cur[x] = row[x] + _paeth(
-                        np.uint8(left), np.uint8(up), np.uint8(ul)
-                    )
+        elif ftype == 1:  # Sub: per-byte-lane modular prefix sum
+            lanes = row.reshape(w, 3).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth: true left recurrence
+            # (pure-int scalar loop — the per-byte numpy-scalar version
+            # was ~50x slower; these filters only appear in foreign
+            # PNGs, our encoder emits filter 0)
+            r_l = row.tolist()
+            p_l = prev.tolist()
+            cur = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = cur[x - 3] if x >= 3 else 0
+                    cur[x] = (r_l[x] + ((left + p_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = cur[x - 3] if x >= 3 else 0
+                    ul = p_l[x - 3] if x >= 3 else 0
+                    cur[x] = (
+                        r_l[x] + _paeth_scalar(left, p_l[x], ul)
+                    ) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"bad PNG filter {ftype}")
     return out.reshape(h, w, 3)

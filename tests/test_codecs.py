@@ -120,3 +120,62 @@ def test_decode_verify_flags_corrupted_payload(spark):
     assert (not bad.decode_ok) or bad.psnr_db < 40.0 or not bad.phash_match
     good = [r for iid, r in out.items() if iid != pdf.loc[5, "image_id"]]
     assert all(r.decode_ok and r.psnr_db >= 40.0 and r.phash_match for r in good)
+
+
+def test_png_decode_all_filter_types():
+    """Foreign PNGs use filters 1-4; the decoder must invert every
+    filter type exactly. Encode the same pixels with each filter
+    forced on all scanlines and check byte-exact round trips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from common_crawl___autumn_2025_spark import codecs as C
+
+    def encode_with_filter(px, ftype):
+        h, w = px.shape[:2]
+        stride = w * 3
+        flat = px.reshape(h, stride).astype(np.int16)
+        lines = bytearray()
+        for y in range(h):
+            row = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+            if ftype == 0:
+                enc = row
+            elif ftype == 1:
+                left = np.concatenate([[0, 0, 0], row[:-3]])
+                enc = row - left
+            elif ftype == 2:
+                enc = row - prev
+            elif ftype == 3:
+                left = np.concatenate([[0, 0, 0], row[:-3]])
+                enc = row - ((left + prev) >> 1)
+            else:
+                left = np.concatenate([[0, 0, 0], row[:-3]])
+                ul = np.concatenate([[0, 0, 0], prev[:-3]])
+                pred = np.array(
+                    [
+                        C._paeth_scalar(int(a), int(b), int(c))
+                        for a, b, c in zip(left, prev, ul)
+                    ],
+                    dtype=np.int16,
+                )
+                enc = row - pred
+            lines.append(ftype)
+            lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idat = zlib.compress(bytes(lines), 6)
+        return (
+            C._PNG_SIG
+            + C._chunk(b"IHDR", ihdr)
+            + C._chunk(b"IDAT", idat)
+            + C._chunk(b"IEND", b"")
+        )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for ftype in range(5):
+        data = encode_with_filter(px, ftype)
+        got = C.decode_png(data)
+        assert np.array_equal(got, px), f"filter {ftype} round trip failed"
