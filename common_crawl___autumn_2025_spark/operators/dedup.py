@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..plans import load, register
 
@@ -167,10 +168,9 @@ def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> Data
     ).select("doc_a", "doc_b")
 
 
-@register(
-    "d02_shingle_jaccard",
-    f"""
-    WITH lists AS (
+# d02's pair derivation as composable CTE text (d05 builds its
+# component oracle on top of the same pairs)
+_D02_CTES = f"""lists AS (
       SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ),
     sh AS (
@@ -191,12 +191,21 @@ def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> Data
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
       FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id
-    )
-    SELECT doc_a, doc_b
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)
+    )"""
+
+
+@register(
+    "d02_shingle_jaccard",
+    f"""
+    WITH {_D02_CTES}
+    SELECT doc_a, doc_b FROM pairs
     """,
 )
 def d02_shingle_jaccard(spark, sf_dir):
@@ -206,6 +215,98 @@ def d02_shingle_jaccard(spark, sf_dir):
     shingle_jaccard_pairs). The threshold is the integer
     cross-product 10·|A∩B| >= 3·|A∪B|."""
     return shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs: (doc_id, component)
+    with component = min doc_id reachable — the clustering step a
+    dedup pipeline needs to pick ONE representative per duplicate
+    group (the reference keeps first-seen per group; min-id is the
+    deterministic distributed analog).
+
+    Iterative min-label propagation: every node adopts the minimum of
+    its own and its neighbors' labels until a fixpoint. Labels only
+    decrease, so sum(labels) strictly decreases each round — the
+    driver loop stops when it stabilizes (one tiny agg per round; the
+    relation is localCheckpoint'ed so each iteration's lineage stays
+    flat). O(component diameter) rounds; dup components are
+    shallow in practice — at web scale swap in the large-star/
+    small-star alternation (O(log n) rounds) without changing the
+    interface.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    total = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = labels.agg(F.sum("component")).collect()[0][0]
+        if new_total == total:
+            break
+        total = new_total
+    w = F.count("*").over(Window.partitionBy("component"))
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        w.cast("long").alias("csize"),
+    )
+
+
+@register(
+    "d05_dup_components",
+    f"""
+    WITH RECURSIVE {_D02_CTES},
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+    FROM comp
+    """,
+)
+def d05_dup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERING: connected components over the d02
+    Jaccard pairs (iterative distributed label propagation), exactly
+    value-matched against a DuckDB recursive-CTE transitive closure.
+    component = min doc_id of the group = the kept representative."""
+    return dup_components(
+        shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+    )
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:

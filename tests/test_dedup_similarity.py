@@ -213,3 +213,30 @@ def test_ivf_candidate_volume_bounded(spark):
     assert total == 400
     # 4 probed cells of ~25 avg -> ~100 candidates/query vs 400 corpus
     assert max(r["count"] for r in sizes) < 400 / 2
+
+
+def test_dup_components_known_graph(spark):
+    """Label propagation finds exact components on a known graph:
+    a 4-chain, a triangle, and a pair — component = min id, csize
+    correct, iteration count bounded by the diameter."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain -> comp 1, size 4
+            (10, 11), (11, 12), (10, 12),    # triangle -> comp 10, size 3
+            (20, 21),                        # pair -> comp 20, size 2
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: (r.component, r.csize)
+        for r in dup_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }
