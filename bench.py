@@ -34,8 +34,10 @@ HEADLINE = [
     "d01_exact_dup",              # hash dedup
     "d02_shingle_jaccard",        # n-gram Jaccard dedup
     "d03_minhash_lsh",            # MinHash+LSH candidates
+    "d05_dup_components",         # iterative components clustering
     "v01_cosine_topk_bruteforce", # dense similarity top-k
     "v03_ann_lsh_bucketed",       # LSH ANN
+    "v04_ann_ivf_flat",           # IVF-Flat ANN
     "t02_quality_score",          # text quality scan
     "st01_tumbling_window",       # windowed stream-shape agg
     "m01_records_decode_verify",  # image decode/verify pipeline
