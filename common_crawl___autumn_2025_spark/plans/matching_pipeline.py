@@ -123,3 +123,91 @@ def e03_matching_pipeline(spark, sf_dir):
         F.col("position").alias("matched_position"),
         F.round(F.col("__nm") / F.col("__ne"), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 (engine-new): the training-data CURATION pipeline end to end —
+# what a 100 TB corpus run actually executes: score every document
+# (language ID, quality gate, token count), drop near-duplicate
+# non-representatives (connected components over Jaccard pairs,
+# keeper = min id), aggregate the curated corpus per source.
+# ---------------------------------------------------------------------------
+
+def _e04_oracle():
+    from ..operators.dedup import _D02_CTES
+
+    return f"""
+    WITH RECURSIVE {_D02_CTES},
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    non_reps AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    scored AS (
+      SELECT doc_id, source,
+             (contains(' ' || text || ' ', ' the ')
+              OR contains(' ' || text || ' ', ' and ')) AS is_en,
+             (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 10
+                  < length(text)) AS ok,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(bpe) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE is_en AND ok
+      AND doc_id NOT IN (SELECT doc_id FROM non_reps)
+    GROUP BY source
+    """
+
+
+@register("e04_curation_pipeline", _e04_oracle())
+def e04_curation_pipeline(spark, sf_dir):
+    """E4: the full curation flow in one plan — language gate (t01's
+    en-marker rule), quality gate (t02), near-dup representative
+    filter (d02 pairs -> d05 components, keep only min-id
+    representatives), BPE-ish token accounting (t03), per-source
+    aggregate of the curated corpus. At 100 TB every stage keeps its
+    scale shape: scoring is one codegen'd scan, the dup filter is the
+    blocked pair join + O(diameter) label rounds, the final aggregate
+    is a partial+final groupBy."""
+    from ..operators.dedup import dup_components, shingle_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    comps = dup_components(shingle_jaccard_pairs(docs))
+    non_reps = comps.where(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    is_en = F.contains(padded, F.lit(" the ")) | F.contains(
+        padded, F.lit(" and ")
+    )
+    n_words = F.size(F.split(text, " "))
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    ok = n_words.between(20, 1000) & (n_punct * 10 < F.length(text))
+    bpe = F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+        )
+    )
+    kept = (
+        docs.join(non_reps, on=["doc_id"], how="left_anti")
+        .where(is_en & ok)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum(bpe).cast("long").alias("total_tokens"),
+    )
