@@ -276,6 +276,99 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     )
 
 
+def dup_components_star(pairs: DataFrame, max_iters: int = 40) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds regardless of component diameter —
+    the web-scale path SCALE.md prescribes when duplicate chains can
+    be long. Same interface and output as ``dup_components``
+    (doc_id, component = min reachable id, csize); equality between
+    the two algorithms is pytest-pinned.
+
+    large-star(u): every strictly larger neighbor of u re-attaches to
+    min(Γ(u) ∪ {u}); small-star(u): every smaller-or-equal neighbor
+    (and u itself) re-attaches to that minimum. Both are one
+    groupBy + join each; the edge set monotonically flattens into
+    per-component stars rooted at the minimum id.
+    """
+    from pyspark.sql import functions as F
+
+    def canon(df):
+        # undirected edge set, canonical (small, large) orientation
+        return (
+            df.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .distinct()
+        )
+
+    edges = canon(
+        pairs.select(
+            F.col("doc_a").cast("long").alias("u"),
+            F.col("doc_b").cast("long").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+
+    def checksum(df):
+        # decimal sum: ANSI mode rejects long-overflowing sums of
+        # 64-bit hashes
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df):
+        sym = df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, on=["u"])
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return canon(out)
+
+    def small_star(df):
+        # canonical orientation: v <= u when grouping by the larger end
+        directed = df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        mins = directed.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        attach = directed.join(mins, on=["u"])
+        out = attach.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(attach.select("u", F.col("m").alias("v")))
+        return canon(out)
+
+    sig = checksum(edges)
+    for _ in range(max_iters):
+        edges = large_star(edges).localCheckpoint(eager=True)
+        edges = small_star(edges).localCheckpoint(eager=True)
+        new_sig = checksum(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: per-component stars rooted at the min id
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("u").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.count("*").over(w).cast("long").alias("csize"),
+    )
+
+
 @register(
     "d05_dup_components",
     f"""

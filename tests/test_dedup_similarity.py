@@ -240,3 +240,38 @@ def test_dup_components_known_graph(spark):
         10: (10, 3), 11: (10, 3), 12: (10, 3),
         20: (20, 2), 21: (20, 2),
     }
+
+
+def test_star_components_equal_label_propagation(spark):
+    """The O(log n) large-star/small-star algorithm must produce the
+    exact same components as min-label propagation — on the known
+    graph AND on a random graph with long chains (where the star
+    algorithm's round bound actually matters)."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        dup_components,
+        dup_components_star,
+    )
+
+    known = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    rng = np.random.Generator(np.random.PCG64(31))
+    # a 60-node chain (diameter 59) + random noise edges
+    chain = [(i, i + 1) for i in range(100, 160)]
+    noise = [
+        (int(a), int(b))
+        for a, b in rng.integers(200, 400, size=(120, 2))
+        if a != b
+    ]
+    rand = spark.createDataFrame(chain + noise, "doc_a long, doc_b long")
+    for pairs in (known, rand):
+        lp = {
+            r.doc_id: (r.component, r.csize)
+            for r in dup_components(pairs, max_iters=100).collect()
+        }
+        star = {
+            r.doc_id: (r.component, r.csize)
+            for r in dup_components_star(pairs).collect()
+        }
+        assert star == lp
