@@ -369,9 +369,7 @@ def dup_components_star(pairs: DataFrame, max_iters: int = 40) -> DataFrame:
     )
 
 
-@register(
-    "d05_dup_components",
-    f"""
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_D02_CTES},
     nodes AS (
       SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
@@ -390,14 +388,27 @@ def dup_components_star(pairs: DataFrame, max_iters: int = 40) -> DataFrame:
            CAST(component AS BIGINT) AS component,
            CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
     FROM comp
-    """,
-)
+    """
+
+
+@register("d05_dup_components", _COMPONENTS_ORACLE)
 def d05_dup_components(spark, sf_dir):
     """Near-duplicate CLUSTERING: connected components over the d02
     Jaccard pairs (iterative distributed label propagation), exactly
     value-matched against a DuckDB recursive-CTE transitive closure.
     component = min doc_id of the group = the kept representative."""
     return dup_components(
+        shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+    )
+
+
+@register("d06_dup_components_star", _COMPONENTS_ORACLE)
+def d06_dup_components_star(spark, sf_dir):
+    """d05's clustering via the O(log n) large-star/small-star
+    algorithm — same recursive-CTE oracle, so BOTH distributed
+    component algorithms are independently value-checked against the
+    single-threaded transitive closure."""
+    return dup_components_star(
         shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
     )
 
