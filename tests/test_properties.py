@@ -85,3 +85,37 @@ def test_bloom_positions_valid_and_deterministic(s):
     assert all(0 <= p < bits for p in pos)
     assert pos == bloom_positions(s, bits, 5)
     assert 0 <= hash64(s) < 1 << 64
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls, st.sampled_from(["/about", "img/x.png", "//cdn.ex.com/j.js",
+                              "https://abs.org/p", "?q=1", "child"]))
+def test_urljoin_always_absolute_and_absorbs_absolute(base, href):
+    base_c = canonicalize(base)
+    joined = canonicalize(href, base=base_c)
+    assert "://" in joined  # always absolute
+    assert canonicalize(joined) == joined  # canonical output
+    # an absolute href ignores the base entirely
+    if href.startswith("https://"):
+        assert joined == canonicalize(href)
+
+
+@settings(max_examples=200, deadline=None)
+@given(hosts, hosts, st.sampled_from(["about", "contact", "legal"]))
+def test_admit_link_scope_mode_invariants(page_host, link_host, kw):
+    from common_crawl___autumn_2025_spark.canonical import host_of
+    from common_crawl___autumn_2025_spark.crawl.frontier import (
+        CrawlSpec,
+        admit_link,
+    )
+
+    page_url = f"http://{page_host}/"
+    href = f"http://{link_host}/{kw}"
+    p9 = CrawlSpec()
+    got = admit_link(p9, page_url, page_host, href)
+    if got is not None:  # P9: admitted links stay on the registered domain
+        assert registered_domain(host_of(got)) == registered_domain(page_host)
+    p8 = CrawlSpec(scope_mode="exclude_same_netloc")
+    got8 = admit_link(p8, page_url, page_host, href)
+    if got8 is not None:  # P8: admitted links always leave the netloc
+        assert host_of(got8) != host_of(canonicalize(page_url))
