@@ -646,6 +646,7 @@ class CrawlEngine:
         frontier = seeds_frontier(spark, seeds)
         matches = empty_matches
         self._matched_ids = set()
+        self._matched_df_n = None  # invalidate the broadcast-side cache
 
         latest = self.store.latest_round()
         if not resume and (latest is not None or self.seen.has_state()):
