@@ -3,10 +3,12 @@
 The rule's criterion — throughput scaling efficiency >= 0.8 from N to
 4N executors — cannot use a real cluster in this sandbox, so (per
 BASELINE.md) this harness runs the IDENTICAL job on the IDENTICAL
-input at ``local[8]`` and ``local[32]`` in separate JVMs and reports
-throughput at both plus the efficiency::
+input at two N->4N parallelism pairings in separate JVMs —
+``local[8]``/``local[32]`` for all jobs plus ``local[4]``/
+``local[16]`` for the headline crawl — and reports throughput at
+each level plus the efficiency::
 
-    efficiency = (T_8 / T_32) / (32 / 8)
+    efficiency = (T_lo / T_hi) / (hi / lo)
 
 Jobs measured:
 
