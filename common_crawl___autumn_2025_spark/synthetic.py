@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from .canonical import canonicalize, host_of, registered_domain, surt
+from .canonical import canonicalize, host_of, surt
 from .codecs import encode_image, phash64
 
 # ---------------------------------------------------------------------------
