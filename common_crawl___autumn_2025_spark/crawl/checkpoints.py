@@ -105,6 +105,7 @@ class CheckpointStore:
         submission only adds contention (measured 17s concurrent vs
         2.8s serial at a 200k-row round on local[32]) — the engine
         passes concurrent=False above its small-round threshold."""
+        t_commit = time.time()
         tmp = os.path.join(self.root, f"_tmp.round={round_no}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -135,6 +136,14 @@ class CheckpointStore:
         for metric, table in self.ROW_METRICS.items():
             if metric not in metrics and table in table_meta:
                 metrics[metric] = table_meta[table]["rows"]
+        # commit wall-time is measured HERE, before the manifest is
+        # serialized, so the on-disk manifest and the returned summary
+        # report the same phase timings (it excludes only the json
+        # dump + final rename, which are sub-ms)
+        metrics["phase_sec"] = {
+            **metrics.get("phase_sec", {}),
+            "commit": round(time.time() - t_commit, 3),
+        }
         # parent derives from the ROUND NUMBER, not latest_round():
         # recommitting round 0 over an existing root would otherwise
         # point its manifest at round N and make lineage() a cycle.

@@ -1,0 +1,94 @@
+"""Injectable fetcher seam for the crawl fetch stage.
+
+The engine's fetch ``mapInPandas`` calls a *fetcher object* instead of
+the synthetic web directly, so the same distributed loop can run
+against a real network by swapping one constructor argument:
+
+- ``SyntheticFetcher`` (default): the deterministic synthetic web —
+  a pure function of (config, url, attempt), exactly replayable, no
+  I/O. This is what every test and bench uses.
+- ``HttpFetcher``: a ``requests``-backed fetcher mirroring the
+  reference's semantics (``company_number_scrape.py:17-25``: GET with
+  a hard timeout, any transport error -> drop the page, never raise;
+  the target probe is the same regex, ``:27-29``). The environment
+  ships no network or ``requests`` package, so the import is deferred
+  to the first fetch; the class is unit-tested against a fake
+  transport.
+
+Fetchers must be picklable (they ship to executors inside the fetch
+closure) and pure per call w.r.t. their constructor state — retries
+and speculative tasks may re-invoke them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .. import synthetic as syn
+from ..canonical import canonicalize, host_of, surt
+
+
+@dataclass(frozen=True)
+class SyntheticFetcher:
+    """Deterministic fetcher over the synthetic web (pure function of
+    the URL — see ``synthetic.fetch_page``)."""
+
+    web: syn.WebConfig = field(default_factory=syn.WebConfig)
+
+    def fetch(self, url: str, attempt: int = 0) -> syn.Page:
+        return syn.fetch_page(self.web, url, attempt=attempt)
+
+    def extract_links(self, page: syn.Page) -> list[str]:
+        return syn.extract_links(page.html)
+
+
+@dataclass(frozen=True)
+class HttpFetcher:
+    """Live-network fetcher with the reference's timeout/drop
+    semantics: one GET per URL with a hard timeout; a transport error
+    (timeout, DNS, connection reset) yields status 0 and the page is
+    simply not expanded — the crawl never crashes on a bad host
+    (reference: the bare ``except: return None`` drop,
+    ``company_number_scrape.py:17-25``). Image payload extraction is
+    out of scope here (a real pipeline fetches ``<img>`` targets in a
+    second pass); the page carries html/target/links only.
+    """
+
+    timeout_s: float = 10.0
+    user_agent: str = "spark-crawl-engine/0.3 (+research crawler)"
+    # injectable transport: any callable (url, timeout, headers) ->
+    # object with .status_code and .text. Defaults to requests.get,
+    # imported lazily (package absent in this environment).
+    transport: object = None
+
+    def _get(self, url: str):
+        if self.transport is not None:
+            return self.transport(
+                url,
+                timeout=self.timeout_s,
+                headers={"User-Agent": self.user_agent},
+            )
+        import requests  # deferred: not installed in this sandbox
+
+        return requests.get(
+            url,
+            timeout=self.timeout_s,
+            headers={"User-Agent": self.user_agent},
+        )
+
+    def fetch(self, url: str, attempt: int = 0) -> syn.Page:
+        cu = canonicalize(url)
+        page = syn.Page(url=cu, surt=surt(cu), host=host_of(cu), status=0)
+        try:
+            resp = self._get(cu)
+        except Exception:  # noqa: BLE001 — transport errors drop the page
+            return page
+        page.status = int(resp.status_code)
+        if page.status == 200:
+            page.html = resp.text or ""
+            page.target_number = syn.find_target(page.html)
+            page.hrefs = syn.extract_links(page.html)
+        return page
+
+    def extract_links(self, page: syn.Page) -> list[str]:
+        return syn.extract_links(page.html)

@@ -47,8 +47,11 @@ from pyspark.sql import functions as F
 from .. import synthetic as syn
 from ..canonical import canonicalize, host_of, registered_domain, surt
 from .checkpoints import CheckpointStore
+from .fetchers import SyntheticFetcher
 from .politeness import with_host_sequence
 from .seen import SeenSet
+
+ROBOTS_FLAGS_SCHEMA = "__robots_ok boolean, __delay double"
 
 FRONTIER_SCHEMA = (
     "round int, url string, surt string, host string, depth int, "
@@ -176,10 +179,12 @@ def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     )
 
 
-def _fetch_map(spec: CrawlSpec):
+def _fetch_map(spec: CrawlSpec, fetcher=None):
     """mapInPandas fetch stage: scheduled frontier batch in, fetched
-    pages out. The synthetic fetcher is a pure function of the URL,
-    so this scales with executors and is exactly replayable.
+    pages out. The ``fetcher`` is injectable (``crawl.fetchers``) —
+    the default SyntheticFetcher is a pure function of the URL, so
+    this scales with executors and is exactly replayable; an
+    HttpFetcher drops in for a live network.
 
     Link ADMISSION also happens here (``admitted`` column): it is
     per-page pure work, and running it inside the fetch pass keeps
@@ -191,6 +196,7 @@ def _fetch_map(spec: CrawlSpec):
     # bytes, so echoing a full 10k-row input batch back as one Arrow
     # frame would spike each worker by hundreds of MB
     chunk = 1024
+    fetcher = fetcher or SyntheticFetcher(spec.web)
 
     EXTRA = ["status", "target_number", "caption", "image_id", "bytes",
              "w", "h", "fmt", "phash", "admitted"]
@@ -204,12 +210,10 @@ def _fetch_map(spec: CrawlSpec):
                 pdf = full.iloc[start : start + chunk]
                 out = []
                 for row in pdf.itertuples(index=False):
-                    page = syn.fetch_page(
-                        spec.web, row.url, attempt=row.retry_count
-                    )
+                    page = fetcher.fetch(row.url, attempt=row.retry_count)
                     admitted = []
                     if page.status == 200 and row.depth < spec.max_depth:
-                        for href in syn.extract_links(page.html):
+                        for href in fetcher.extract_links(page):
                             absolute = admit_link(spec, row.url, row.host, href)
                             if absolute is not None:
                                 admitted.append(
@@ -244,23 +248,33 @@ class CrawlEngine:
     latency, so fixed per-round cost is the enemy): one round runs
 
     1. ONE job materializing the deduped-unseen delta (window dedup +
-       Bloom probe + exact confirm + early-exit filter, eager
+       Bloom probe with the ROBOTS FLAGS FUSED INTO THE SAME ARROW
+       PASS + exact confirm + early-exit filter, eager
        ``localCheckpoint``),
     2. the seen-set append (one write job) CONCURRENTLY with
-    3. the schedule+fetch job (robots flags fused into an Arrow pass
-       over the checkpointed delta, politeness window, fetch
-       ``mapInPandas``, eager ``localCheckpoint``), then
-    4. one tiny new-matched-seed-ids collect, and
+    3. the schedule+fetch job (politeness window + fetch
+       ``mapInPandas`` — fetch is the job's ONLY Python stage, eager
+       ``localCheckpoint``), then
+    4. one tiny new-matched-seed-ids collect (skipped entirely once
+       the matched set outgrows the driver mirror), and
     5. the four snapshot table writes, submitted concurrently.
+
+    Each round therefore runs exactly one Python worker stage per
+    job — at high local parallelism a chained robots->fetch Python
+    pair cost one extra worker pool per task thread, which is what
+    oversubscribed the box past ~16 task threads.
 
     Partition counts adapt to the round size (``rows_per_task_*``) so
     a small round is not taxed with ``defaultParallelism`` empty
     tasks, while a 10^7-row round fans out to the full cluster.
     Early-exit / first-match filtering uses a driver-held matched-seed
-    id set (``isin``) below ``matched_isin_limit`` and falls back to a
-    broadcast anti-join above it. Robots rules live in a plain Spark
-    broadcast dict below ``robots_dict_limit`` rows (no per-round
-    broadcast-join build); a larger robots table keeps the join path.
+    id set (``isin``) below ``matched_isin_limit``, a broadcast
+    anti-join above it, and a left_anti join against the checkpointed
+    ``matches`` table once the set passes ``matched_mirror_limit`` (no
+    driver state at the 10^7+-matches design point). Robots rules live
+    in a plain Spark broadcast dict below ``robots_dict_limit`` rows
+    (no per-round broadcast-join build); a larger robots table keeps
+    the declarative join path.
     """
 
     # matched-seed filters switch from driver isin to a broadcast
@@ -269,8 +283,19 @@ class CrawlEngine:
     # (measured ~5s per plan at 9k literals vs 1.5s for the broadcast
     # join including its build)
     matched_isin_limit = 512
+    # ... and above THIS many matched seeds the driver stops mirroring
+    # ids entirely (at the 10^10 design point 10^7-10^8 satisfied
+    # seeds would be GBs of driver heap + a same-size createDataFrame
+    # per round): the filter becomes a left_anti join against the
+    # checkpointed ``matches`` table — one small shuffle, zero driver
+    # state. Standalone ``run_round`` callers (engine state not
+    # seeded by ``run()``) always take the table path.
+    matched_mirror_limit = 1_000_000
     # robots config switches from broadcast dict to per-round join
-    robots_dict_limit = 1_000_000
+    # (a 1M-row dict was ~hundreds of MB collected to the driver and
+    # re-broadcast; the join path costs one extra broadcast join per
+    # round and no driver materialization)
+    robots_dict_limit = 50_000
     # politeness switches from plain host window to the range-salted
     # construction (politeness.with_host_sequence) above this row count
     salted_politeness_threshold = 200_000
@@ -288,10 +313,12 @@ class CrawlEngine:
         checkpoint_root: str,
         robots: DataFrame | None = None,
         partitions: int | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.spec = spec
         self.store = CheckpointStore(spark, checkpoint_root)
+        self.fetcher = fetcher or SyntheticFetcher(spec.web)
         self.seen = SeenSet(
             spark,
             checkpoint_root + "/seen",
@@ -300,6 +327,10 @@ class CrawlEngine:
         )
         self.partitions = partitions or spark.sparkContext.defaultParallelism
         self._matched_ids: set[int] = set()
+        # the driver-held matched-id mirror is only trusted when run()
+        # has seeded it (fresh run or small-table resume); otherwise
+        # _filter_unmatched anti-joins against the matches table itself
+        self._mirror_valid = False
         self.robots_dict: dict | None = None
         self.robots_webcfg = None
         self.robots = None
@@ -326,12 +357,25 @@ class CrawlEngine:
         return max(1, min(self.partitions, -(-max(n_rows, 1) // rows_per_task)))
 
     def _filter_unmatched(self, df: DataFrame, matches: DataFrame) -> DataFrame:
-        """Drop rows whose seed already matched. Driver isin below the
-        limit (no broadcast-build job); above it, a broadcast anti-join
-        against a DataFrame of the driver-held id set (created once
-        per round and reused by every plan in the round — cheaper than
-        both a giant In() literal list and a matches-parquet rescan).
-        ``matches`` remains the source of truth the id set mirrors."""
+        """Drop rows whose seed already matched. Three regimes:
+
+        - driver mirror valid, small: ``isin`` literal (no job);
+        - driver mirror valid, mid-size: broadcast anti-join against a
+          DataFrame of the driver-held id set (created once per round
+          and reused by every plan in the round — cheaper than both a
+          giant In() literal list and a matches-parquet rescan);
+        - mirror invalid or past ``matched_mirror_limit``: left_anti
+          join against ``matches`` itself (the checkpointed source of
+          truth) — one small shuffle, no driver state, the only path
+          that is safe at 10^7+ satisfied seeds and for standalone
+          ``run_round`` callers whose engine state ``run()`` never
+          seeded."""
+        if not self._mirror_valid:
+            return df.join(
+                matches.select("seed_id").distinct(),
+                on=["seed_id"],
+                how="left_anti",
+            )
         n = len(self._matched_ids)
         if n == 0:
             return df
@@ -346,8 +390,55 @@ class CrawlEngine:
             F.broadcast(self._matched_df), on=["seed_id"], how="left_anti"
         )
 
+    def _robots_flags_factory(self):
+        """Zero-arg factory -> (pdf -> DataFrame[__robots_ok, __delay])
+        for the dict/webcfg robots modes. Captures only the broadcast
+        handle / web config (picklable — never ``self``). The factory
+        runs once per task so the webcfg per-host rule cache persists
+        across that task's Arrow batches. This is what rides the
+        seen-set Bloom probe's Arrow pass (``SeenSet.filter_unseen
+        (row_flags=...)``) — ONE Python worker stage per task instead
+        of a chained robots pass feeding the fetch pass."""
+        bc = self._robots_bc if self.robots_dict is not None else None
+        webcfg = self.robots_webcfg
+
+        def factory():
+            if bc is not None:
+                robots = bc.value
+                lookup = lambda h: robots.get(h, ((), 1.0))  # noqa: E731
+            else:
+                cache: dict = {}
+
+                def lookup(h):
+                    if h not in cache:
+                        cache[h] = syn.robots_for_host(webcfg, h)
+                    return cache[h]
+
+            def flags(pdf):
+                ok, delay = [], []
+                for url, host in zip(pdf["url"], pdf["host"]):
+                    disallow, d = lookup(host)
+                    rest = url.split("://", 1)[1]
+                    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+                    path = path.split("?", 1)[0]
+                    ok.append(not any(path.startswith(p) for p in disallow))
+                    delay.append(float(d))
+                return pd.DataFrame(
+                    {
+                        "__robots_ok": pd.Series(ok, index=pdf.index, dtype=bool),
+                        "__delay": pd.Series(delay, index=pdf.index, dtype=float),
+                    }
+                )
+
+            return flags
+
+        return factory
+
     def _robots_flags(self, df: DataFrame) -> DataFrame:
-        """Attach ``__robots_ok`` + ``__delay`` columns.
+        """Attach ``__robots_ok`` + ``__delay`` columns as a STANDALONE
+        pass (used for retry rows and by the join mode; the main-path
+        flags are fused into the Bloom probe via
+        ``_robots_flags_factory``).
 
         Dict mode: one Arrow pass against the broadcast robots config
         (same path logic as the oracle, ``oracle.py`` step 5). Join
@@ -358,37 +449,18 @@ class CrawlEngine:
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         if self.robots_dict is not None or self.robots_webcfg is not None:
-            bc = self._robots_bc if self.robots_dict is not None else None
-            webcfg = self.robots_webcfg
+            factory = self._robots_flags_factory()
 
             def flags(batches):
-                if bc is not None:
-                    robots = bc.value
-                    lookup = lambda h: robots.get(h, ((), 1.0))  # noqa: E731
-                else:
-                    cache: dict = {}
-
-                    def lookup(h):
-                        if h not in cache:
-                            cache[h] = syn.robots_for_host(webcfg, h)
-                        return cache[h]
-
+                flag_fn = factory()
                 for pdf in batches:
-                    ok, delay = [], []
-                    for url, host in zip(pdf["url"], pdf["host"]):
-                        disallow, d = lookup(host)
-                        rest = url.split("://", 1)[1]
-                        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-                        path = path.split("?", 1)[0]
-                        ok.append(not any(path.startswith(p) for p in disallow))
-                        delay.append(float(d))
+                    extra = flag_fn(pdf)
                     yield pdf.assign(
-                        __robots_ok=pd.Series(ok, index=pdf.index, dtype=bool),
-                        __delay=pd.Series(delay, index=pdf.index, dtype=float),
+                        **{c: extra[c] for c in extra.columns}
                     )
 
             return df.mapInPandas(
-                flags, schema=schema_fields + ", __robots_ok boolean, __delay double"
+                flags, schema=schema_fields + ", " + ROBOTS_FLAGS_SCHEMA
             )
         joined = df.join(F.broadcast(self.robots), on=["host"], how="left")
         path = F.regexp_replace(
@@ -457,13 +529,29 @@ class CrawlEngine:
             .drop("__rn")
         )
 
-        # 2. seen-set anti join (Bloom prefilter + exact confirm)
-        unseen = self.seen.filter_unseen(cand)
+        # 2. seen-set anti join (Bloom prefilter + exact confirm).
+        # In the dict/webcfg robots modes the per-row robots flags are
+        # FUSED into the same Arrow pass as the Bloom probe — one
+        # Python worker stage per task for the whole dedup job, and
+        # the later schedule+fetch job runs fetch as its only Python
+        # stage (the chained robots->fetch worker pair cost one extra
+        # Python worker pool per task thread at high parallelism).
+        fused_robots = self.robots is None
+        if fused_robots:
+            unseen = self.seen.filter_unseen(
+                cand,
+                row_flags=self._robots_flags_factory(),
+                flags_schema=ROBOTS_FLAGS_SCHEMA,
+            )
+        else:
+            unseen = self.seen.filter_unseen(cand)
 
         # 3. early-exit: drop rows of already-satisfied seeds
         if spec.early_exit:
             unseen = self._filter_unmatched(unseen, matches)
         if retries is not None:
+            if fused_robots:  # retries bypass the probe: flag standalone
+                retries = self._robots_flags(retries)
             unseen = unseen.unionByName(retries)
         # CRITICAL: truncate lineage BEFORE updating the seen set.
         # unseen's plan scans the seen-exact parquet path; the append
@@ -495,18 +583,20 @@ class CrawlEngine:
         add_thread = threading.Thread(target=_add, name=f"seen-add-r{round_no}")
         add_thread.start()
 
-        # 5. robots + politeness scheduling + 6. fetch — ONE job.
-        # Robots flags ride an Arrow pass over the checkpointed delta;
-        # small rounds rank with a plain per-host window on an
-        # explicit host repartition (no sampling job, no offsets
-        # broadcast), while rounds above salted_politeness_threshold
-        # use the range-salted construction that bounds any single
-        # host's rows per task (same seq values — the invariance tests
-        # force both paths). The fetch result is localCheckpoint'ed
-        # EAGERLY: the commit writes must never recompute through the
-        # politeness pipeline (recompute divergence silently dropped
-        # whole hosts; see test_larger_web_fetch_set_identical).
-        flagged = self._robots_flags(unseen)
+        # 5. politeness scheduling + 6. fetch — ONE job, with fetch as
+        # its ONLY Python stage (robots flags were fused into the
+        # Bloom-probe pass above; the join mode attaches them here
+        # declaratively, still JVM-only). Small rounds rank with a
+        # plain per-host window on an explicit host repartition (no
+        # sampling job, no offsets broadcast), while rounds above
+        # salted_politeness_threshold use the range-salted
+        # construction that bounds any single host's rows per task
+        # (same seq values — the invariance tests force both paths).
+        # The fetch result is localCheckpoint'ed EAGERLY: the commit
+        # writes must never recompute through the politeness pipeline
+        # (recompute divergence silently dropped whole hosts; see
+        # test_larger_web_fetch_set_identical).
+        flagged = unseen if fused_robots else self._robots_flags(unseen)
         allowed = flagged.where(F.col("__robots_ok"))
         sched_cleanup: list = []
         if n_frontier <= self.salted_politeness_threshold:
@@ -547,7 +637,7 @@ class CrawlEngine:
             .drop("__robots_ok", "__delay", "cum_retry_count")
         )
         fetched = scheduled.mapInPandas(
-            _fetch_map(spec), schema=FETCHED_SCHEMA
+            _fetch_map(spec, self.fetcher), schema=FETCHED_SCHEMA
         ).localCheckpoint(eager=True)
         self._pending_cleanup = sched_cleanup
         add_thread.join()
@@ -572,8 +662,17 @@ class CrawlEngine:
             )
         )
         new_matches = self._filter_unmatched(new_matches, matches)
-        new_ids = [r[0] for r in new_matches.select("seed_id").collect()]
-        self._matched_ids.update(new_ids)
+        if self._mirror_valid:
+            # the per-round delta is small; mirror it — unless the
+            # cumulative set just crossed the cap, in which case drop
+            # the mirror for good (no more per-round collect jobs; all
+            # later filters anti-join the matches table directly)
+            new_ids = [r[0] for r in new_matches.select("seed_id").collect()]
+            self._matched_ids.update(new_ids)
+            if len(self._matched_ids) > self.matched_mirror_limit:
+                self._mirror_valid = False
+                self._matched_ids = set()
+                self._matched_df_n = None
         matches_cum = matches.unionByName(new_matches)
         phase["new_matches"] = round(time.time() - t0, 3)
 
@@ -646,6 +745,7 @@ class CrawlEngine:
         frontier = seeds_frontier(spark, seeds)
         matches = empty_matches
         self._matched_ids = set()
+        self._mirror_valid = True  # run() owns the mirror from here
         self._matched_df_n = None  # invalidate the broadcast-side cache
 
         latest = self.store.latest_round()
@@ -669,9 +769,18 @@ class CrawlEngine:
                     )
                 frontier = self.store.read_table(latest, "frontier")
                 matches = self.store.read_table(latest, "matches")
-                self._matched_ids = {
-                    r[0] for r in matches.select("seed_id").collect()
-                }
+                # only rebuild the driver mirror while it is small
+                # (footer row count — no job); a resume with 10^7+
+                # matches keeps the table-anti-join path instead of
+                # collecting them all to the driver
+                n_matched = m["tables"]["matches"]["rows"]
+                if n_matched <= self.matched_mirror_limit:
+                    self._matched_ids = {
+                        r[0] for r in matches.select("seed_id").collect()
+                    }
+                else:
+                    self._matched_ids = set()
+                    self._mirror_valid = False
                 start_round = latest + 1
                 self.seen.rollback(latest)
 
@@ -684,7 +793,6 @@ class CrawlEngine:
         for round_no in range(start_round, spec.max_rounds):
             if frontier_count == 0:
                 break
-            t_commit = time.time()
             nxt, fetched, matches, records, metrics = self.run_round(
                 round_no, frontier, matches, frontier_count=frontier_count
             )
@@ -712,11 +820,6 @@ class CrawlEngine:
             for df in getattr(self, "_pending_cleanup", []):
                 df.unpersist()
             self._pending_cleanup = []
-            manifest["metrics"].setdefault("phase_sec", {})["commit"] = round(
-                time.time() - t_commit
-                - sum(v for v in metrics["phase_sec"].values()),
-                3,
-            )
             summary["rounds"].append({**manifest["metrics"], "round": round_no,
                                       "snapshot_id": manifest["snapshot_id"]})
             frontier = self.store.read_table(round_no, "frontier")

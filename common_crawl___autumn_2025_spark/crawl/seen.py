@@ -57,6 +57,16 @@ def bloom_positions(s: str, n_bits: int, k: int) -> list[int]:
     return [(h1 + i * h2) % n_bits for i in range(k)]
 
 
+def packed_test(packed: np.ndarray, positions: list[int]) -> bool:
+    """All ``positions`` set in a PACKED (uint8, big-endian bit order —
+    ``np.packbits`` layout) bitmap. Probing the packed array directly
+    keeps per-worker bloom memory at the packed size; the former
+    ``np.unpackbits(...).astype(bool)`` expansion cost 8x that PER
+    PYTHON WORKER (up to 16 GB box-wide at 32 workers against a 64 MB
+    broadcast)."""
+    return all(packed[p >> 3] & (128 >> (p & 7)) for p in positions)
+
+
 class SeenSet:
     """Sharded exact seen-table + Bloom sidecars under ``path``.
 
@@ -74,6 +84,8 @@ class SeenSet:
         bits_per_shard: int = 1 << 20,
         n_hashes: int = 5,
     ):
+        if bits_per_shard % 8:
+            raise ValueError("bits_per_shard must be a multiple of 8 (packed sidecars)")
         self.spark = spark
         self.path = path
         self.n_shards = n_shards
@@ -181,14 +193,18 @@ class SeenSet:
                     ["shard", "surt", "first_round"]
                 ]
             for shard, bm in per_shard.items():
+                # sidecars are stored PACKED (uint8, np.packbits layout):
+                # 8x smaller on disk/broadcast, and the OR-merge works
+                # directly on packed bytes
+                packed = np.packbits(bm)
                 f = os.path.join(bloom_dir, f"shard={shard}.npy")
                 if os.path.exists(f):
-                    bm = np.load(f) | bm
+                    packed = np.load(f) | packed
                 tmp = os.path.join(
                     bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy"
                 )
                 with open(tmp, "wb") as fh:
-                    np.save(fh, bm)
+                    np.save(fh, packed)
                 os.replace(tmp, f)
 
         def pre_shard(batches):
@@ -267,7 +283,7 @@ class SeenSet:
                 bitmap[bloom_positions(s, bits, k)] = True
             tmp = os.path.join(bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy")
             with open(tmp, "wb") as fh:
-                np.save(fh, bitmap)
+                np.save(fh, np.packbits(bitmap))
             os.replace(tmp, os.path.join(bloom_dir, f"shard={shard}.npy"))
             return pd.DataFrame({"shard": [shard]})
 
@@ -289,6 +305,7 @@ class SeenSet:
         return os.path.join(self.path, "bloom", f"shard={shard}.npy")
 
     def load_bitmaps(self) -> dict[int, np.ndarray]:
+        """Per-shard PACKED bitmaps (uint8, ``np.packbits`` layout)."""
         if self._bitmaps is None:
             out = {}
             for shard in range(self.n_shards):
@@ -303,72 +320,99 @@ class SeenSet:
     # broadcast the bitmaps only while they are executor-friendly; at
     # the 10^10 design point (4096 shards x MBs) switch to the
     # shard-partitioned probe where each task reads only its shards'
-    # sidecar files from the (shared) checkpoint filesystem
+    # sidecar files from the (shared) checkpoint filesystem. The limit
+    # counts PACKED bytes, and the probe indexes the packed arrays
+    # directly, so per-worker bloom memory == this limit, not 8x it.
     BROADCAST_LIMIT_BYTES = 64 << 20
 
-    def filter_unseen(self, frontier: DataFrame, surt_col: str = "surt") -> DataFrame:
+    def filter_unseen(
+        self,
+        frontier: DataFrame,
+        surt_col: str = "surt",
+        row_flags=None,
+        flags_schema: str = "",
+    ) -> DataFrame:
         """Rows of ``frontier`` whose surt is NOT in the seen set.
 
         Bloom-negative rows pass through without touching the exact
         table; Bloom-positive rows are confirmed via ``left_anti``
-        against only their shards. Two probe strategies:
+        against the exact table. Two probe strategies:
 
-        - small bitmap set → broadcast all shards (no extra shuffle);
+        - small bitmap set → broadcast all (packed) shards, probe in
+          one Arrow pass (no extra shuffle);
         - large bitmap set → hash-repartition the frontier on the
           shard id and let each task load only the shard files it
           owns (total bitmap bytes moved == one copy, not one per
           executor; requires the seen path on shared storage, which
           the checkpoint contract already guarantees).
+
+        Either way the confirm is ONE anti join over the single probe
+        output, with condition (surt match AND bloom-positive): Bloom
+        negatives match nothing and pass through; positives are
+        exactly confirmed; the Python probe executes exactly once (the
+        former negatives/positives branch-union re-ran the probe and
+        its shuffle per branch on the shard path).
+
+        ``row_flags`` fuses caller-side per-row flag computation into
+        the SAME Arrow pass as the Bloom probe (one Python worker
+        stage per task instead of two chained ones — the crawl round
+        rides its robots flags here). It is a zero-arg factory called
+        once per task, returning ``pdf -> DataFrame-of-extra-columns``;
+        ``flags_schema`` declares those columns (DDL). Flag columns
+        survive into the output. With an empty seen set the flags
+        still run (a dedicated Arrow pass), so callers get a uniform
+        schema.
         """
         bitmaps = self.load_bitmaps()
-        if not bitmaps:
-            return frontier
         n_shards, bits, k = self.n_shards, self.bits, self.k
-        cols = frontier.columns
+        flag_cols = [
+            c.strip().split()[0] for c in flags_schema.split(",") if c.strip()
+        ]
+        flags_suffix = f", {flags_schema}" if flags_schema else ""
         schema_fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
         )
-        total_bytes = sum(m.nbytes for m in bitmaps.values())
 
-        if total_bytes <= self.BROADCAST_LIMIT_BYTES:
-            packed = {s: np.packbits(m) for s, m in bitmaps.items()}
-            b_maps = self.spark.sparkContext.broadcast(packed)
+        def with_flags(pdf, flag_fn):
+            if flag_fn is None:
+                return pdf
+            extra = flag_fn(pdf)
+            return pdf.assign(**{c: extra[c] for c in extra.columns})
+
+        if not bitmaps:
+            if row_flags is None:
+                return frontier
+
+            def flags_only(batches):
+                flag_fn = row_flags()
+                for pdf in batches:
+                    yield with_flags(pdf, flag_fn)
+
+            return frontier.mapInPandas(
+                flags_only, schema=schema_fields + flags_suffix
+            )
+
+        cols = frontier.columns
+        out_cols = cols + flag_cols
+        probe_schema = schema_fields + flags_suffix + ", __bloom_maybe boolean"
+
+        if sum(m.nbytes for m in bitmaps.values()) <= self.BROADCAST_LIMIT_BYTES:
+            b_maps = self.spark.sparkContext.broadcast(bitmaps)
 
             def probe(batches):
-                unpacked = {
-                    s: np.unpackbits(m, count=bits).astype(bool)
-                    for s, m in b_maps.value.items()
-                }
+                packed = b_maps.value  # probed packed — never unpacked
+                flag_fn = row_flags() if row_flags is not None else None
                 for pdf in batches:
                     flags = [
-                        (bm := unpacked.get(hash64(s) % n_shards)) is not None
-                        and all(bm[p] for p in bloom_positions(s, bits, k))
+                        (bm := packed.get(hash64(s) % n_shards)) is not None
+                        and packed_test(bm, bloom_positions(s, bits, k))
                         for s in pdf[surt_col]
                     ]
-                    yield pdf.assign(
+                    yield with_flags(pdf, flag_fn).assign(
                         __bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool)
                     )
 
-            flagged = frontier.mapInPandas(
-                probe, schema=schema_fields + ", __bloom_maybe boolean"
-            )
-            # ONE pass over the probe output: an anti join whose
-            # condition is (surt match AND bloom-positive). Bloom
-            # negatives match nothing and pass through; positives are
-            # exactly confirmed. The two-branch union form would run
-            # the Python probe once per branch.
-            seen_keys = self.exact_df().select(
-                F.col(surt_col).alias("__seen_surt")
-            )
-            return (
-                flagged.join(
-                    seen_keys,
-                    (F.col(surt_col) == F.col("__seen_surt"))
-                    & F.col("__bloom_maybe"),
-                    how="left_anti",
-                )
-                .select(*cols)
-            )
+            flagged = frontier.mapInPandas(probe, schema=probe_schema)
         else:  # shard-partitioned probe: task-local bitmap loads
             bloom_dir = os.path.join(self.path, "bloom")
             parallelism = self.spark.sparkContext.defaultParallelism
@@ -387,6 +431,7 @@ class SeenSet:
 
             def probe_local(batches):
                 cache: dict[int, np.ndarray] = {}
+                flag_fn = row_flags() if row_flags is not None else None
                 for pdf in batches:
                     flags = []
                     for s, shard in zip(pdf[surt_col], pdf["__shard"]):
@@ -398,18 +443,19 @@ class SeenSet:
                         bm = cache[shard]
                         flags.append(
                             bm is not None
-                            and all(bm[p] for p in bloom_positions(s, bits, k))
+                            and packed_test(bm, bloom_positions(s, bits, k))
                         )
-                    yield pdf.assign(
+                    yield with_flags(
+                        pdf.drop(columns=["__shard"]), flag_fn
+                    ).assign(
                         __bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool)
-                    ).drop(columns=["__shard"])
+                    )
 
-            flagged = sharded.mapInPandas(
-                probe_local, schema=schema_fields + ", __bloom_maybe boolean"
-            )
+            flagged = sharded.mapInPandas(probe_local, schema=probe_schema)
 
-        negatives = flagged.where(~F.col("__bloom_maybe")).select(*cols)
-        positives = flagged.where(F.col("__bloom_maybe")).select(*cols)
-        seen_keys = self.exact_df().select(F.col("surt").alias(surt_col))
-        confirmed_unseen = positives.join(seen_keys, on=[surt_col], how="left_anti")
-        return negatives.unionByName(confirmed_unseen)
+        seen_keys = self.exact_df().select(F.col("surt").alias("__seen_surt"))
+        return flagged.join(
+            seen_keys,
+            (F.col(surt_col) == F.col("__seen_surt")) & F.col("__bloom_maybe"),
+            how="left_anti",
+        ).select(*out_cols)

@@ -303,3 +303,110 @@ def test_explicit_robots_dataframe_identical(spark, spec, seeds, oracle_result):
         assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_robots_join_path_identical(spark, spec, seeds, oracle_result, monkeypatch):
+    """A robots table larger than robots_dict_limit must keep the
+    declarative broadcast-join path (no driver dict) and still replay
+    the oracle exactly."""
+    monkeypatch.setattr(CrawlEngine, "robots_dict_limit", 5)
+    robots_df = spark.createDataFrame(
+        syn.robots_pandas(spec.web),  # 20 hosts > limit of 5
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    root = tempfile.mkdtemp(prefix="crawl_robotsjoin_")
+    try:
+        eng = CrawlEngine(spark, spec, root, robots=robots_df, partitions=4)
+        assert eng.robots is not None and eng.robots_dict is None
+        eng.run(seeds)
+        assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_matched_mirror_bound_replay_identical(
+    spark, spec, seeds, oracle_result, monkeypatch
+):
+    """Force the no-driver-mirror regime (matched_mirror_limit=0 →
+    every early-exit/first-match filter anti-joins the matches table):
+    replay equality must hold, and a resume must NOT rebuild the
+    driver id set."""
+    monkeypatch.setattr(CrawlEngine, "matched_isin_limit", 0)
+    monkeypatch.setattr(CrawlEngine, "matched_mirror_limit", 0)
+    root = tempfile.mkdtemp(prefix="crawl_mirrorbound_")
+    try:
+        eng = CrawlEngine(spark, spec, root, partitions=4)
+        eng.run(seeds)
+        assert eng._mirror_valid is False and eng._matched_ids == set()
+        assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
+        latest = eng.store.latest_round()
+        got = {
+            row.seed_id: (row.url, row.surt, row.target_number, row.round)
+            for row in eng.store.read_table(latest, "matches").collect()
+        }
+        assert got == oracle_result.matches
+
+        resumed = CrawlEngine(spark, spec, root, partitions=4)
+        resumed.run(seeds, resume=True)
+        # resume saw a matches table above the limit: no driver collect
+        assert resumed._mirror_valid is False
+        assert resumed._matched_ids == set()
+        assert _engine_fetch_log(resumed) == sorted(oracle_result.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_injected_fetcher_identical(spark, spec, seeds, oracle_result):
+    """The fetcher seam: explicitly injecting the synthetic fetcher is
+    byte-identical to the default."""
+    from common_crawl___autumn_2025_spark.crawl.fetchers import SyntheticFetcher
+
+    root = tempfile.mkdtemp(prefix="crawl_fetcher_")
+    try:
+        eng = CrawlEngine(
+            spark, spec, root, partitions=4, fetcher=SyntheticFetcher(spec.web)
+        )
+        eng.run(seeds)
+        assert _engine_fetch_log(eng) == sorted(oracle_result.fetch_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_http_fetcher_timeout_drop_semantics():
+    """HttpFetcher maps transport errors to status 0 (drop, never
+    raise — reference company_number_scrape.py:17-25) and parses the
+    target probe + links from a 200 body; no network involved (fake
+    transport)."""
+    from common_crawl___autumn_2025_spark.crawl.fetchers import HttpFetcher
+
+    class Resp:
+        def __init__(self, status_code, text):
+            self.status_code, self.text = status_code, text
+
+    html = (
+        '<html><body><p>Company Number 01234567 registered.</p>'
+        '<a href="/about">about</a></body></html>'
+    )
+
+    def ok_transport(url, timeout, headers):
+        assert timeout == 3.5 and "User-Agent" in headers
+        return Resp(200, html)
+
+    def boom_transport(url, timeout, headers):
+        raise TimeoutError("simulated network timeout")
+
+    f = HttpFetcher(timeout_s=3.5, transport=ok_transport)
+    page = f.fetch("example.com/x")
+    assert page.status == 200
+    assert page.target_number == "01234567"
+    assert f.extract_links(page) == ["/about"]
+
+    dropped = HttpFetcher(timeout_s=3.5, transport=boom_transport).fetch(
+        "http://example.com/"
+    )
+    assert dropped.status == 0 and dropped.html == ""
+
+    not_found = HttpFetcher(
+        timeout_s=3.5, transport=lambda url, timeout, headers: Resp(404, "")
+    ).fetch("http://example.com/missing")
+    assert not_found.status == 404 and not_found.target_number == ""

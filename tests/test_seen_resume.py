@@ -3,11 +3,17 @@
 import shutil
 import tempfile
 
+import numpy as np
 import pytest
 
 from common_crawl___autumn_2025_spark import synthetic as syn
 from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSpec
-from common_crawl___autumn_2025_spark.crawl.seen import SeenSet, bloom_positions, hash64
+from common_crawl___autumn_2025_spark.crawl.seen import (
+    SeenSet,
+    bloom_positions,
+    hash64,
+    packed_test,
+)
 
 
 def test_bloom_no_false_negatives(spark):
@@ -19,10 +25,11 @@ def test_bloom_no_false_negatives(spark):
         df = spark.createDataFrame([(s,) for s in surts], "surt string")
         added = seen.add(df, round_no=0)
         assert added == 500
-        bitmaps = seen.load_bitmaps()
+        bitmaps = seen.load_bitmaps()  # packed uint8 sidecars
         for s in surts:
             bm = bitmaps[hash64(s) % 4]
-            assert all(bm[p] for p in bloom_positions(s, 1 << 14, 5))
+            assert bm.dtype == np.uint8 and bm.nbytes == (1 << 14) // 8
+            assert packed_test(bm, bloom_positions(s, 1 << 14, 5))
         # filter_unseen removes exactly the seen ones
         probe = spark.createDataFrame(
             [(s,) for s in surts[:100]] + [(f"org,new{i})/",) for i in range(50)],
