@@ -230,9 +230,12 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     driver loop stops when it stabilizes (one tiny agg per round; the
     relation is localCheckpoint'ed so each iteration's lineage stays
     flat). O(component diameter) rounds; dup components are
-    shallow in practice — at web scale swap in the large-star/
-    small-star alternation (O(log n) rounds) without changing the
-    interface.
+    shallow in practice. If the fixpoint is NOT reached within
+    ``max_iters`` (component diameter > max_iters — long duplicate
+    chains at corpus scale), the partial labels would be silently
+    WRONG, so this falls back to ``dup_components_star`` (O(log n)
+    rounds, same output contract, equality pytest-pinned) with a
+    warning instead of returning them.
     """
     from pyspark.sql import functions as F
 
@@ -247,6 +250,7 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("component")).collect()[0][0]
+    converged = total is None  # no edges at all -> trivially done
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.b == labels.node)
@@ -266,8 +270,21 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         new_total = labels.agg(F.sum("component")).collect()[0][0]
         if new_total == total:
+            converged = True
             break
         total = new_total
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dup_components: no fixpoint after {max_iters} label-"
+            "propagation rounds (component diameter exceeds the cap); "
+            "falling back to the O(log n) large-star/small-star "
+            "algorithm",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return dup_components_star(pairs)
     w = F.count("*").over(Window.partitionBy("component"))
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -177,16 +177,18 @@ def _e04_oracle():
 def e04_curation_pipeline(spark, sf_dir):
     """E4: the full curation flow in one plan — language gate (t01's
     en-marker rule), quality gate (t02), near-dup representative
-    filter (d02 pairs -> d05 components, keep only min-id
+    filter (d02 pairs -> connected components, keep only min-id
     representatives), BPE-ish token accounting (t03), per-source
     aggregate of the curated corpus. At 100 TB every stage keeps its
     scale shape: scoring is one codegen'd scan, the dup filter is the
-    blocked pair join + O(diameter) label rounds, the final aggregate
-    is a partial+final groupBy."""
-    from ..operators.dedup import dup_components, shingle_jaccard_pairs
+    blocked pair join + the O(log n) large-star/small-star component
+    rounds (d06 — duplicate chains at corpus scale can exceed any
+    fixed diameter cap, so the curation path uses the star algorithm
+    outright), the final aggregate is a partial+final groupBy."""
+    from ..operators.dedup import dup_components_star, shingle_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    comps = dup_components(shingle_jaccard_pairs(docs))
+    comps = dup_components_star(shingle_jaccard_pairs(docs))
     non_reps = comps.where(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )

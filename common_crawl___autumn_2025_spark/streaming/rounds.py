@@ -184,7 +184,14 @@ def stream_sessionize_stateful(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out: the availableNow drain is incomplete and the
+            # memory sink holds PARTIAL sessions — stop the query and
+            # fail loudly instead of returning a wrong result
+            q.stop()
+            raise TimeoutError(
+                "stateful sessionization stream did not drain within 300s"
+            )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(work_dir, ignore_errors=True)
@@ -235,7 +242,11 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "windowed event stream did not drain within 300s"
+            )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")

@@ -275,3 +275,36 @@ def test_star_components_equal_label_propagation(spark):
             for r in dup_components_star(pairs).collect()
         }
         assert star == lp
+
+
+def test_label_propagation_cap_falls_back_to_star(spark):
+    """A component whose diameter exceeds max_iters must NOT yield
+    silently-wrong partial labels: dup_components detects the missed
+    fixpoint, warns, and falls back to the O(log n) star algorithm."""
+    import warnings
+
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        dup_components,
+        dup_components_star,
+    )
+
+    # 20-node chain, diameter 19 >> max_iters=3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(500, 520)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.doc_id: (r.component, r.csize)
+            for r in dup_components(pairs, max_iters=3).collect()
+        }
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "fixpoint" in str(w.message)
+        for w in caught
+    )
+    want = {
+        r.doc_id: (r.component, r.csize)
+        for r in dup_components_star(pairs).collect()
+    }
+    assert got == want
+    assert all(c == 500 and n == 21 for c, n in got.values())
