@@ -8,12 +8,16 @@ ships its own lossless codecs:
 - PNG: 8-bit RGB, zlib-deflated, all five PNG filter types supported
   on decode; encode uses filter 0 (None) per scanline.
 - PPM: binary P6, 8-bit RGB.
+- JPEG: baseline sequential 4:4:4, own DCT/Huffman implementation
+  (see ``jpeg.py``) — the LOSSY path, verified against the
+  PSNR >= 40 dB floor.
 
-Both are lossless, so the per-row invariant (decoded-pixel allclose,
-PSNR >= 40 dB for lossy formats; exact for lossless — the reference
-analog is the page-content equality the practical's ground-truth
-checks rely on, cf. reference ``Matching_with_recursion.py:434-435``)
-degenerates to exact equality, with PSNR still computed and asserted.
+For the lossless formats the per-row invariant (decoded-pixel
+allclose, PSNR >= 40 dB for lossy formats; exact for lossless — the
+reference analog is the page-content equality the practical's
+ground-truth checks rely on, cf. reference
+``Matching_with_recursion.py:434-435``) degenerates to exact
+equality, with PSNR still computed and asserted.
 
 All functions are numpy-vectorized per image and are called from
 Arrow-batched pandas UDFs only (never row-at-a-time Python UDFs).
@@ -149,11 +153,20 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3).copy()
 
 
+#: formats whose decode must reproduce the source pixels EXACTLY;
+#: anything else (jpeg) is verified against the PSNR >= 40 dB floor
+LOSSLESS_FMTS = frozenset({"png", "ppm"})
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
@@ -162,6 +175,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "ppm":
         return encode_ppm(pixels)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(pixels)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 

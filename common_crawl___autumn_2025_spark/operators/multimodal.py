@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .. import synthetic as syn
-from ..codecs import decode_image, phash64, psnr
+from ..codecs import LOSSLESS_FMTS, decode_image, phash64, psnr
 from ..plans import register
 
 N_RECORDS = 256
@@ -37,10 +37,12 @@ def decode_verify(records, ref_seed: int | None = None):
     from), every payload is verified AGAINST INDEPENDENTLY RE-DERIVED
     reference pixels — ``syn.make_image`` from the record key, exactly
     like ``tests/test_crawl_replay.py`` does — so ``psnr_db`` is a
-    genuine cross-derivation measurement (input_hint invariant:
-    decoded-pixel allclose, PSNR >= 40 dB) and a corrupted payload is
-    flagged. Without a seed (records of unknown provenance) the
-    reference is unavailable and ``psnr_db`` is NULL.
+    genuine cross-derivation measurement and a corrupted payload is
+    flagged. The acceptance criterion follows the input_hint
+    invariant per format: lossless payloads (png/ppm) must match the
+    reference EXACTLY; lossy ones (jpeg) must clear the
+    PSNR >= 40 dB floor. Without a seed (records of unknown
+    provenance) the reference is unavailable and ``psnr_db`` is NULL.
 
     Any decode failure (unsupported modality, corrupt bytes) flags the
     row instead of crashing the job — a crawl pipeline must tolerate
@@ -69,7 +71,10 @@ def decode_verify(records, ref_seed: int | None = None):
                         p = (
                             float(min(psnr(ref, px), 99.0)) if ok else 0.0
                         )
-                        ok = ok and np.array_equal(ref, px)
+                        if row.fmt in LOSSLESS_FMTS:
+                            ok = ok and np.array_equal(ref, px)
+                        else:  # lossy: the input_hint PSNR floor
+                            ok = ok and p >= 40.0
                     out.append(
                         {
                             **base,
@@ -187,15 +192,20 @@ def m03_phash_near_dup(spark, sf_dir):
     return pairs.orderBy("img_a", "img_b")
 
 
-@register("m04_modality_stub")  # rows-only
+@register("m04_modality_stub")  # rows-only; key kept stable across rounds
 def m04_modality_stub(spark, sf_dir):
-    """Unsupported-modality path: jpeg/audio/video rows flow through
-    the same decode plumbing and come back flagged, never crashing
-    the job (NotImplementedError is caught per row). Real decoders
-    drop in by extending codecs.decode_image."""
-    records = syn.records_df(spark, 32, seed=7).withColumn(
+    """Mixed-modality decode path. jpeg rows carry REAL baseline-JPEG
+    payloads (own codec, ``jpeg.py``) and must verify against the
+    lossy PSNR >= 40 dB floor; rows relabeled to a modality the
+    runtime genuinely cannot decode (webm — no media libs in this
+    environment) flow through the same plumbing and come back
+    flagged, never crashing the job (the per-row except). Real
+    audio/video decoders drop in by extending codecs.decode_image."""
+    records = syn.records_df(
+        spark, 32, seed=7, fmts=("png", "ppm", "jpeg")
+    ).withColumn(
         "fmt",
-        F.when(F.col("phash") % 3 == 0, F.lit("jpeg")).otherwise(F.col("fmt")),
+        F.when(F.col("phash") % 5 == 0, F.lit("webm")).otherwise(F.col("fmt")),
     )
     return (
         decode_verify(records, ref_seed=7)

@@ -90,10 +90,20 @@ def make_caption(key: int, min_words: int = 5, max_words: int = 12) -> str:
     return " ".join(VOCAB[int(i)] for i in g.integers(0, len(VOCAB), size=n))
 
 
-def record_for_key(image_id: str, key: int) -> dict:
-    """One canonical record row (input_hint schema) for a stable key."""
+DEFAULT_FMTS = ("png", "ppm")
+
+
+def record_for_key(
+    image_id: str, key: int, fmts: tuple[str, ...] = DEFAULT_FMTS
+) -> dict:
+    """One canonical record row (input_hint schema) for a stable key.
+
+    ``fmts`` is the encoding cycle (``fmts[key % len]``); the default
+    keeps the historical png/ppm parity so existing traces and bench
+    inputs are unchanged, while ``("png", "ppm", "jpeg")`` exercises
+    the lossy path."""
     pixels = make_image(key)
-    fmt = "png" if key % 2 == 0 else "ppm"
+    fmt = fmts[key % len(fmts)]
     return {
         "image_id": image_id,
         "bytes": encode_image(pixels, fmt),
@@ -111,12 +121,23 @@ RECORD_SCHEMA = (
 )
 
 
-def records_pandas(n: int, seed: int = 42) -> pd.DataFrame:
-    rows = [record_for_key(f"img{i:09d}", h64(seed, "record", i)) for i in range(n)]
+def records_pandas(
+    n: int, seed: int = 42, fmts: tuple[str, ...] = DEFAULT_FMTS
+) -> pd.DataFrame:
+    rows = [
+        record_for_key(f"img{i:09d}", h64(seed, "record", i), fmts=fmts)
+        for i in range(n)
+    ]
     return pd.DataFrame(rows)
 
 
-def records_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def records_df(
+    spark,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    fmts: tuple[str, ...] = DEFAULT_FMTS,
+):
     """Distributed canonical-record table: spark.range -> mapInPandas.
 
     Each row is generated independently from (seed, id), so this
@@ -127,7 +148,9 @@ def records_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     def gen(batches):
         for pdf in batches:
             rows = [
-                record_for_key(f"img{int(i):09d}", h64(seed, "record", int(i)))
+                record_for_key(
+                    f"img{int(i):09d}", h64(seed, "record", int(i)), fmts=fmts
+                )
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(rows)
