@@ -8,7 +8,8 @@ equivalent is:
 
 - an exact, Parquet-backed ``url_seen`` table ``(shard INT,
   surt STRING, first_round INT)``, hash-sharded by
-  ``blake2b64(surt) % n_shards``;
+  ``pmod(xxhash64(surt), n_shards)`` (a JVM projection — see
+  ``shard_expr``);
 - a per-shard Bloom bitmap sidecar, built and OR-merged entirely by
   executor tasks (each shard's rows land in one task, which
   read-modify-writes its own ``shard=N.npy`` under tmp+rename), used
@@ -45,8 +46,23 @@ SEEN_SCHEMA = "shard int, surt string, first_round int"
 
 
 def hash64(s: str) -> int:
-    """Stable unsigned 64-bit hash used for sharding."""
+    """Stable unsigned 64-bit blake2b hash (kept for generic keyed
+    hashing in tests; shard ASSIGNMENT is JVM-side — see
+    ``shard_expr``)."""
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def shard_expr(surt_col: str, n_shards: int):
+    """JVM-side shard id for a surt: ``pmod(xxhash64(surt), n)``.
+
+    Shard assignment is a plain Catalyst projection, NOT a Python
+    pass: the seen-append job used to run a chained pre-shard
+    ``mapInPandas`` feeding the sidecar writer (two Python worker
+    pools per task, concurrent with the fetch job's workers), and the
+    large-bitmap probe path ran one just to attach shard ids. The
+    shard id is internal state, so the hash only needs to be stable
+    within a checkpoint lineage — Spark's xxhash64 is."""
+    return F.pmod(F.xxhash64(F.col(surt_col)), F.lit(n_shards)).cast("int")
 
 
 def bloom_positions(s: str, n_bits: int, k: int) -> list[int]:
@@ -207,18 +223,8 @@ class SeenSet:
                     np.save(fh, packed)
                 os.replace(tmp, f)
 
-        def pre_shard(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                yield pdf.assign(
-                    shard=pdf["surt"]
-                    .map(lambda s: hash64(s) % n_shards)
-                    .astype("int32")
-                )
-
         (
-            delta.mapInPandas(pre_shard, schema="surt string, shard int")
+            delta.withColumn("shard", shard_expr("surt", n_shards))
             .repartition(write_parts, "shard")
             .mapInPandas(shard_and_sidecar, schema=SEEN_SCHEMA)
             .write.mode("append")
@@ -396,6 +402,10 @@ class SeenSet:
         out_cols = cols + flag_cols
         probe_schema = schema_fields + flags_suffix + ", __bloom_maybe boolean"
 
+        # shard ids come from a JVM projection in BOTH probe modes —
+        # the Python pass starts with the shard already attached
+        with_shard = frontier.withColumn("__shard", shard_expr(surt_col, n_shards))
+
         if sum(m.nbytes for m in bitmaps.values()) <= self.BROADCAST_LIMIT_BYTES:
             b_maps = self.spark.sparkContext.broadcast(bitmaps)
 
@@ -404,30 +414,23 @@ class SeenSet:
                 flag_fn = row_flags() if row_flags is not None else None
                 for pdf in batches:
                     flags = [
-                        (bm := packed.get(hash64(s) % n_shards)) is not None
+                        (bm := packed.get(shard)) is not None
                         and packed_test(bm, bloom_positions(s, bits, k))
-                        for s in pdf[surt_col]
+                        for s, shard in zip(pdf[surt_col], pdf["__shard"])
                     ]
-                    yield with_flags(pdf, flag_fn).assign(
+                    yield with_flags(
+                        pdf.drop(columns=["__shard"]), flag_fn
+                    ).assign(
                         __bloom_maybe=pd.Series(flags, index=pdf.index, dtype=bool)
                     )
 
-            flagged = frontier.mapInPandas(probe, schema=probe_schema)
+            flagged = with_shard.mapInPandas(probe, schema=probe_schema)
         else:  # shard-partitioned probe: task-local bitmap loads
             bloom_dir = os.path.join(self.path, "bloom")
             parallelism = self.spark.sparkContext.defaultParallelism
-
-            def add_shard(batches):
-                for pdf in batches:
-                    yield pdf.assign(
-                        __shard=pdf[surt_col]
-                        .map(lambda s: hash64(s) % n_shards)
-                        .astype("int32")
-                    )
-
-            sharded = frontier.mapInPandas(
-                add_shard, schema=schema_fields + ", __shard int"
-            ).repartition(max(parallelism, n_shards // 16), "__shard")
+            sharded = with_shard.repartition(
+                max(parallelism, n_shards // 16), "__shard"
+            )
 
             def probe_local(batches):
                 cache: dict[int, np.ndarray] = {}

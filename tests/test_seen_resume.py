@@ -11,8 +11,8 @@ from common_crawl___autumn_2025_spark.crawl.frontier import CrawlEngine, CrawlSp
 from common_crawl___autumn_2025_spark.crawl.seen import (
     SeenSet,
     bloom_positions,
-    hash64,
     packed_test,
+    shard_expr,
 )
 
 
@@ -26,8 +26,14 @@ def test_bloom_no_false_negatives(spark):
         added = seen.add(df, round_no=0)
         assert added == 500
         bitmaps = seen.load_bitmaps()  # packed uint8 sidecars
+        shard_of = {
+            r.surt: r.shard
+            for r in df.select(
+                "surt", shard_expr("surt", 4).alias("shard")
+            ).collect()
+        }
         for s in surts:
-            bm = bitmaps[hash64(s) % 4]
+            bm = bitmaps[shard_of[s]]
             assert bm.dtype == np.uint8 and bm.nbytes == (1 << 14) // 8
             assert packed_test(bm, bloom_positions(s, 1 << 14, 5))
         # filter_unseen removes exactly the seen ones
