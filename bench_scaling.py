@@ -121,7 +121,7 @@ spark.stop()
 """
 
 
-def wait_for_quiet(max_load: float = 6.0, timeout_s: int = 900) -> float:
+def wait_for_quiet(max_load: float = 3.5, timeout_s: int = 900) -> float:
     """This sandbox shares a host with other tenants whose load comes
     and goes; a local[32] trial needs the whole box while local[8]
     fits into spare capacity, so measuring during a neighbor's burst

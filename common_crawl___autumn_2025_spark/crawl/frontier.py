@@ -85,6 +85,10 @@ class CrawlSpec:
     round_budget_s: float = 3600.0
     seen_shards: int = 16
     seen_bits_per_shard: int = 1 << 20
+    # URL-seen prefilter kind: "bloom" (packed bitmaps) or "cuckoo"
+    # ((2,4) fingerprint tables — deletion-capable; north rule names
+    # both). Same no-false-negative + exact-confirm contract.
+    seen_filter: str = "bloom"
     # transient-failure retry (reference: 3 retries with 60s backoff,
     # Matching_P1.py:298-327); retry_max=0 disables re-enqueueing
     retry_max: int = 0
@@ -324,6 +328,7 @@ class CrawlEngine:
             checkpoint_root + "/seen",
             n_shards=spec.seen_shards,
             bits_per_shard=spec.seen_bits_per_shard,
+            filter_kind=spec.seen_filter,
         )
         self.partitions = partitions or spark.sparkContext.defaultParallelism
         self._matched_ids: set[int] = set()

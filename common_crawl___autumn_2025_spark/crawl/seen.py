@@ -10,12 +10,14 @@ equivalent is:
   surt STRING, first_round INT)``, hash-sharded by
   ``pmod(xxhash64(surt), n_shards)`` (a JVM projection — see
   ``shard_expr``);
-- a per-shard Bloom bitmap sidecar, built and OR-merged entirely by
-  executor tasks (each shard's rows land in one task, which
-  read-modify-writes its own ``shard=N.npy`` under tmp+rename), used
-  as a cheap *prefilter* for the anti-join. The driver never holds
-  bitmap bytes — at the 4096-shard design point that path would move
-  GBs per round through ``collect()``.
+- a per-shard probabilistic-prefilter sidecar — PACKED Bloom bitmaps
+  by default, or (2,4)-cuckoo fingerprint tables
+  (``filter_kind="cuckoo"``; the north rule names both) — built and
+  merged entirely by executor tasks (each shard's rows land in one
+  task, which read-modify-writes its own ``shard=N.npy`` under
+  tmp+rename), used as a cheap *prefilter* for the anti-join. The
+  driver never holds bitmap bytes — at the 4096-shard design point
+  that path would move GBs per round through ``collect()``.
 
 Correctness contract: Bloom false positives are safe because every
 Bloom-positive row is confirmed against the exact table with a
@@ -41,6 +43,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .cuckoo import CuckooShard
+from .cuckoo import probe_packed as cuckoo_probe_packed
 
 SEEN_SCHEMA = "shard int, surt string, first_round int"
 
@@ -99,14 +104,28 @@ class SeenSet:
         n_shards: int = 16,
         bits_per_shard: int = 1 << 20,
         n_hashes: int = 5,
+        filter_kind: str = "bloom",
     ):
+        """``filter_kind``: "bloom" (packed bitmaps, default) or
+        "cuckoo" ((2,4)-cuckoo fingerprint tables, ``cuckoo.py`` —
+        the north rule's alternative; supports deletion and answers
+        *maybe*-only when saturated). Both are prefilters with the
+        identical no-false-negative + exact-confirm contract, sized
+        to the same per-shard memory (``bits_per_shard``/8 bytes)."""
         if bits_per_shard % 8:
             raise ValueError("bits_per_shard must be a multiple of 8 (packed sidecars)")
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.spark = spark
         self.path = path
         self.n_shards = n_shards
         self.bits = bits_per_shard
         self.k = n_hashes
+        self.filter_kind = filter_kind
+        # cuckoo table with the same byte budget as the packed bloom:
+        # bits/8 bytes = n_buckets * 4 slots * 1 byte -> bits/32
+        # buckets, rounded down to a power of two (xor-partial-key)
+        self.cuckoo_buckets = max(8, 1 << ((bits_per_shard // 32).bit_length() - 1))
         self._bitmaps: dict[int, np.ndarray] | None = None
         os.makedirs(os.path.join(path, "bloom"), exist_ok=True)
 
@@ -176,6 +195,7 @@ class SeenSet:
         does: candidates are surt-deduped upstream).
         """
         n_shards, bits, k = self.n_shards, self.bits, self.k
+        kind, n_buckets = self.filter_kind, self.cuckoo_buckets
         bloom_dir = os.path.join(self.path, "bloom")
         write_parts = min(
             n_shards, self.spark.sparkContext.defaultParallelism
@@ -188,39 +208,54 @@ class SeenSet:
             delta = delta.distinct()
 
         def shard_and_sidecar(batches):
-            """Assign shard ids, build this task's per-shard Bloom
-            deltas, and publish the sidecar files before the final
-            yield — the parquet writer consuming this generator then
-            commits the rows. Each shard is owned by exactly one task
-            (upstream hash repartition on shard), so the
-            read-modify-write below has no concurrent writer except a
-            speculative duplicate of *this same task*, which computes
-            an identical OR."""
-            per_shard: dict[int, np.ndarray] = {}
+            """Build this task's per-shard filter deltas and publish
+            the sidecar files before the final yield — the parquet
+            writer consuming this generator then commits the rows.
+            Each shard is owned by exactly one task (upstream hash
+            repartition on shard), so the read-modify-write below has
+            no concurrent writer except a speculative duplicate of
+            *this same task* (idempotent for Bloom's OR; for cuckoo a
+            duplicate insert only raises the load factor — probes
+            stay correct either way)."""
+            per_shard: dict[int, object] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for s, shard in zip(pdf["surt"], pdf["shard"]):
-                    bm = per_shard.setdefault(
-                        int(shard), np.zeros(bits, dtype=bool)
-                    )
-                    bm[bloom_positions(s, bits, k)] = True
+                if kind == "bloom":
+                    for s, shard in zip(pdf["surt"], pdf["shard"]):
+                        bm = per_shard.setdefault(
+                            int(shard), np.zeros(bits, dtype=bool)
+                        )
+                        bm[bloom_positions(s, bits, k)] = True
+                else:
+                    for s, shard in zip(pdf["surt"], pdf["shard"]):
+                        per_shard.setdefault(int(shard), []).append(s)
                 yield pdf.assign(first_round=np.int32(round_no))[
                     ["shard", "surt", "first_round"]
                 ]
-            for shard, bm in per_shard.items():
-                # sidecars are stored PACKED (uint8, np.packbits layout):
-                # 8x smaller on disk/broadcast, and the OR-merge works
-                # directly on packed bytes
-                packed = np.packbits(bm)
+            for shard, state in per_shard.items():
                 f = os.path.join(bloom_dir, f"shard={shard}.npy")
-                if os.path.exists(f):
-                    packed = np.load(f) | packed
+                if kind == "bloom":
+                    # sidecars are stored PACKED (uint8, np.packbits
+                    # layout): 8x smaller on disk/broadcast, and the
+                    # OR-merge works directly on packed bytes
+                    out = np.packbits(state)
+                    if os.path.exists(f):
+                        out = np.load(f) | out
+                else:
+                    cf = (
+                        CuckooShard.from_array(np.load(f))
+                        if os.path.exists(f)
+                        else CuckooShard(n_buckets)
+                    )
+                    for s in state:
+                        cf.insert(s)
+                    out = cf.to_array()
                 tmp = os.path.join(
                     bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy"
                 )
                 with open(tmp, "wb") as fh:
-                    np.save(fh, packed)
+                    np.save(fh, out)
                 os.replace(tmp, f)
 
         (
@@ -276,20 +311,28 @@ class SeenSet:
                         shutil.rmtree(os.path.join(sd, rd), ignore_errors=True)
 
         bits, k = self.bits, self.k
+        kind, n_buckets = self.filter_kind, self.cuckoo_buckets
         bloom_dir = os.path.join(self.path, "bloom")
 
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            """Rebuild one shard's bitmap and publish the sidecar file
+            """Rebuild one shard's filter and publish the sidecar file
             from the task itself (tmp + rename) — no bitmap bytes
             cross the driver even for a full-set rebuild. The returned
             ack row is one int per shard."""
             shard = int(key[0])
-            bitmap = np.zeros(bits, dtype=bool)
-            for s in pdf["surt"]:
-                bitmap[bloom_positions(s, bits, k)] = True
+            if kind == "bloom":
+                bitmap = np.zeros(bits, dtype=bool)
+                for s in pdf["surt"]:
+                    bitmap[bloom_positions(s, bits, k)] = True
+                out = np.packbits(bitmap)
+            else:
+                cf = CuckooShard(n_buckets)
+                for s in pdf["surt"]:
+                    cf.insert(s)
+                out = cf.to_array()
             tmp = os.path.join(bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy")
             with open(tmp, "wb") as fh:
-                np.save(fh, np.packbits(bitmap))
+                np.save(fh, out)
             os.replace(tmp, os.path.join(bloom_dir, f"shard={shard}.npy"))
             return pd.DataFrame({"shard": [shard]})
 
@@ -371,6 +414,11 @@ class SeenSet:
         """
         bitmaps = self.load_bitmaps()
         n_shards, bits, k = self.n_shards, self.bits, self.k
+        if self.filter_kind == "bloom":
+            def probe_one(bm, s):
+                return packed_test(bm, bloom_positions(s, bits, k))
+        else:
+            probe_one = cuckoo_probe_packed
         flag_cols = [
             c.strip().split()[0] for c in flags_schema.split(",") if c.strip()
         ]
@@ -415,7 +463,7 @@ class SeenSet:
                 for pdf in batches:
                     flags = [
                         (bm := packed.get(shard)) is not None
-                        and packed_test(bm, bloom_positions(s, bits, k))
+                        and probe_one(bm, s)
                         for s, shard in zip(pdf[surt_col], pdf["__shard"])
                     ]
                     yield with_flags(
@@ -444,10 +492,7 @@ class SeenSet:
                                 np.load(f) if os.path.exists(f) else None
                             )
                         bm = cache[shard]
-                        flags.append(
-                            bm is not None
-                            and packed_test(bm, bloom_positions(s, bits, k))
-                        )
+                        flags.append(bm is not None and probe_one(bm, s))
                     yield with_flags(
                         pdf.drop(columns=["__shard"]), flag_fn
                     ).assign(

@@ -252,3 +252,68 @@ def test_lineage_terminates_on_recommit(spark, small_spec, tmp_path):
     assert m0["parent_round"] is None
     chain = store.lineage()
     assert [m["round"] for m in chain] == [2, 1, 0]
+
+
+def test_cuckoo_seen_set_filter_and_rollback(spark):
+    """SeenSet(filter_kind='cuckoo'): same membership contract as the
+    Bloom path — no false negatives, exact filter_unseen output,
+    rollback rebuilds the fingerprint tables."""
+    root = tempfile.mkdtemp(prefix="seen_ck_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=4, bits_per_shard=1 << 14,
+            filter_kind="cuckoo",
+        )
+        surts = [f"com,site{i:04d})/page/{i % 7}" for i in range(500)]
+        df = spark.createDataFrame([(s,) for s in surts], "surt string")
+        assert seen.add(df, round_no=0) == 500
+        probe = spark.createDataFrame(
+            [(s,) for s in surts[:100]] + [(f"org,new{i})/",) for i in range(50)],
+            "surt string",
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {f"org,new{i})/" for i in range(50)}
+        # incremental add + rollback (fingerprint tables rebuilt)
+        seen.add(
+            spark.createDataFrame([("zz,extra)/",)], "surt string"), 1
+        )
+        seen.rollback(0)
+        out2 = {
+            r.surt
+            for r in seen.filter_unseen(
+                spark.createDataFrame(
+                    [("zz,extra)/",), (surts[0],)], "surt string"
+                )
+            ).collect()
+        }
+        assert out2 == {"zz,extra)/"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_crawl_replay_identical(spark, small_spec):
+    """Full crawl with the cuckoo URL-seen prefilter replays the
+    oracle exactly (the prefilter kind must be semantically
+    invisible)."""
+    import dataclasses
+
+    from common_crawl___autumn_2025_spark.crawl import oracle
+
+    spec = dataclasses.replace(small_spec, seen_filter="cuckoo")
+    seeds = syn.seed_urls(spec.web, 10)
+    o = oracle.crawl(spec, seeds)
+    root = tempfile.mkdtemp(prefix="ck_cuckoo_")
+    try:
+        eng = CrawlEngine(spark, spec, root, partitions=4)
+        assert eng.seen.filter_kind == "cuckoo"
+        eng.run(seeds)
+        got = sorted(
+            (r.round, r.host, r.seq, r.surt, r.status)
+            for rr in range(eng.store.latest_round() + 1)
+            for r in eng.store.read_table(rr, "fetch_log").collect()
+        )
+        want = sorted((r[0], r[1], r[2], r[3], r[7]) for r in o.fetch_log)
+        assert got == want
+        assert {r.surt for r in eng.seen.exact_df().collect()} == o.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
