@@ -70,3 +70,59 @@ def c02_crawl_round_metrics(spark, sf_dir):
         "round int, frontier_in long, deduped_attempted long, "
         "fetched long, matches_total long",
     ).orderBy("round")
+
+
+@register("c03_snapshot_lineage")  # rows-only: engine-state table
+def c03_snapshot_lineage(spark, sf_dir):
+    """Iceberg-manifest-analog surface: the snapshot lineage chain as
+    a table — (round, parent_round, snapshot_id, config_hash,
+    per-table row counts, partition file counts). Time travel = read
+    any round's tables; this query proves the chain is walkable and
+    complete (lineage() guards non-monotone parents)."""
+    eng, _root = _run_small_crawl(spark)
+    rows = [
+        (
+            m["round"],
+            m["parent_round"],
+            m["snapshot_id"],
+            m["config_hash"],
+            m["tables"]["fetch_log"]["rows"],
+            m["tables"]["frontier"]["rows"],
+            m["tables"]["matches"]["rows"],
+            m["tables"]["records"]["rows"],
+            sum(len(t["partitions"]) for t in m["tables"].values()),
+        )
+        for m in reversed(eng.store.lineage())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, parent_round int, snapshot_id string, "
+        "config_hash string, fetch_log_rows long, frontier_rows long, "
+        "matches_rows long, records_rows long, n_partition_files long",
+    ).orderBy("round")
+
+
+@register("c04_crawl_cuckoo_seen")  # rows-only: alternative prefilter
+def c04_crawl_cuckoo_seen(spark, sf_dir):
+    """The same crawl loop with the CUCKOO URL-seen prefilter
+    (CrawlSpec.seen_filter='cuckoo' — the north rule names
+    'Bloom/cuckoo'). The prefilter kind is semantically invisible, so
+    this fetch log is value-identical to c01's (pinned by the replay
+    pytest for both kinds); the driver row proves the cuckoo path
+    runs end to end."""
+    spec = CrawlSpec(
+        web=syn.WebConfig(n_hosts=12), max_depth=1, max_rounds=2,
+        seen_filter="cuckoo",
+    )
+    seeds = syn.seed_urls(spec.web, 10)
+    root = tempfile.mkdtemp(prefix="cat_cuckoo_")
+    eng = CrawlEngine(spark, spec, root, partitions=8)
+    eng.run(seeds)
+    latest = eng.store.latest_round()
+    logs = None
+    for r in range(latest + 1):
+        t = eng.store.read_table(r, "fetch_log").select(
+            "round", "host", "seq", "surt", "status"
+        )
+        logs = t if logs is None else logs.unionByName(t)
+    return logs.orderBy("round", "host", "seq")
