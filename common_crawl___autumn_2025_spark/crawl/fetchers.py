@@ -22,10 +22,26 @@ and speculative tasks may re-invoke them.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from .. import synthetic as syn
 from ..canonical import canonicalize, host_of, surt
+
+_IMG_SRC_RE = re.compile(r"<img[^>]*?src=[\"']([^\"']+)", re.IGNORECASE)
+_IMG_ALT_RE = re.compile(r"<img[^>]*?alt=[\"']([^\"']*)", re.IGNORECASE)
+
+
+def sniff_image_fmt(data: bytes) -> str:
+    """Container sniff by magic bytes — the crawl trusts payloads,
+    not URLs or Content-Type headers."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return ""
 
 
 @dataclass(frozen=True)
@@ -57,9 +73,16 @@ class HttpFetcher:
     timeout_s: float = 10.0
     user_agent: str = "spark-crawl-engine/0.3 (+research crawler)"
     # injectable transport: any callable (url, timeout, headers) ->
-    # object with .status_code and .text. Defaults to requests.get,
-    # imported lazily (package absent in this environment).
+    # object with .status_code, .text and (for binaries) .content.
+    # Defaults to requests.get, imported lazily (package absent in
+    # this environment).
     transport: object = None
+    # fill the input_hint record fields (bytes/fmt/w/h/phash/caption)
+    # from the page's first <img>: one extra GET per 200-page, payload
+    # sniffed by magic bytes and decoded with the engine's own codecs
+    # (png/ppm/baseline-jpeg); an undecodable payload keeps its bytes
+    # with w=h=0 (decode_verify flags it downstream, never crashes)
+    fetch_images: bool = True
 
     def _get(self, url: str):
         if self.transport is not None:
@@ -88,7 +111,44 @@ class HttpFetcher:
             page.html = resp.text or ""
             page.target_number = syn.find_target(page.html)
             page.hrefs = syn.extract_links(page.html)
+            if self.fetch_images:
+                self._attach_image(page)
         return page
+
+    def _attach_image(self, page: syn.Page) -> None:
+        """Fetch + decode the page's first <img> into the input_hint
+        record fields. Any failure (transport, bad payload) leaves
+        the page imageless — the record row is simply absent/flagged,
+        the crawl never stops for a broken image."""
+        m = _IMG_SRC_RE.search(page.html)
+        if not m:
+            return
+        img_url = canonicalize(m.group(1), base=page.url)
+        if not img_url:
+            return
+        try:
+            resp = self._get(img_url)
+        except Exception:  # noqa: BLE001 — image errors never propagate
+            return
+        if int(resp.status_code) != 200:
+            return
+        data = getattr(resp, "content", b"") or b""
+        fmt = sniff_image_fmt(data)
+        if not fmt:
+            return
+        page.image_bytes = data
+        page.image_fmt = fmt
+        alt = _IMG_ALT_RE.search(page.html)
+        page.caption = alt.group(1) if alt else ""
+        try:
+            from ..codecs import decode_image, phash64
+
+            px = decode_image(data, fmt)
+            page.h, page.w = int(px.shape[0]), int(px.shape[1])
+            page.phash = phash64(px)
+        except Exception:  # noqa: BLE001 — undecodable: keep bytes, flag later
+            page.w = page.h = 0
+            page.phash = 0
 
     def extract_links(self, page: syn.Page) -> list[str]:
         return syn.extract_links(page.html)

@@ -161,7 +161,7 @@ def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     def canon(batches):
         for pdf in batches:
             cu = pdf["raw"].map(canonicalize)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "round": 0,
                     "url": cu,
@@ -174,6 +174,11 @@ def seeds_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
                     "retry_count": 0,
                 }
             )
+            # a seed that canonicalizes to nothing (empty string,
+            # bare scheme, whitespace) is DROPPED here, mirroring the
+            # oracle: there is no URL to fetch, and letting the empty
+            # row flow on would poison the robots path parse
+            yield out[cu.astype(bool).values]
 
     parts = max(1, min(
         spark.sparkContext.defaultParallelism, -(-len(seeds) // 2048)
@@ -423,7 +428,10 @@ class CrawlEngine:
                 ok, delay = [], []
                 for url, host in zip(pdf["url"], pdf["host"]):
                     disallow, d = lookup(host)
-                    rest = url.split("://", 1)[1]
+                    # defensive: scheme-less rows can't occur from
+                    # canonicalized input, but a missing '://' must
+                    # not kill the executor task
+                    rest = url.split("://", 1)[1] if "://" in url else url
                     path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
                     path = path.split("?", 1)[0]
                     ok.append(not any(path.startswith(p) for p in disallow))

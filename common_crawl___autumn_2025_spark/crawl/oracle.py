@@ -52,6 +52,8 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
     frontier = []
     for i, s in enumerate(seeds):
         cu = canonicalize(s)
+        if not cu:  # unparseable seed: dropped (engine does the same)
+            continue
         frontier.append((cu, surt(cu), host_of(cu), 0, 0.0, None, i, 0))
 
     for round_no in range(spec.max_rounds):

@@ -410,3 +410,84 @@ def test_http_fetcher_timeout_drop_semantics():
         timeout_s=3.5, transport=lambda url, timeout, headers: Resp(404, "")
     ).fetch("http://example.com/missing")
     assert not_found.status == 404 and not_found.target_number == ""
+
+
+def test_malformed_and_duplicate_seeds_replay_identical(spark, spec):
+    """Dirty seed lists (empty strings, scheme-only, spaces,
+    duplicates, uppercase/ports, proto-relative) must not crash the
+    distributed loop and must replay the oracle exactly — both sides
+    share only the pure canonicalization functions."""
+    seeds = [
+        "",                       # canonicalizes to ''
+        "http://",                # degenerate
+        "   ",                    # whitespace
+        "www.acme0001.co.uk",     # valid, scheme-less
+        "HTTP://WWW.ACME0001.CO.UK:80/",  # same page, shouty + port
+        "www.acme0001.co.uk",     # exact duplicate
+        "//www.acme0002.com/x",   # proto-relative junk path
+        "https://www.acme0003.org",
+        "not a url",
+    ]
+    o = oracle.crawl(spec, seeds)
+    root = tempfile.mkdtemp(prefix="crawl_dirty_")
+    try:
+        eng = CrawlEngine(spark, spec, root, partitions=4)
+        eng.run(seeds)
+        assert _engine_fetch_log(eng) == sorted(o.fetch_log)
+        assert {r.surt for r in eng.seen.exact_df().collect()} == o.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_http_fetcher_image_record_fields():
+    """HttpFetcher fills the input_hint record fields from the page's
+    first <img>: payload sniffed by magic bytes, decoded with the
+    engine's own codecs (dims + phash), caption from the alt text;
+    an undecodable payload keeps its bytes with w=h=0 (flag-don't-
+    crash), and image errors never propagate."""
+    from common_crawl___autumn_2025_spark import codecs as C
+    from common_crawl___autumn_2025_spark.crawl.fetchers import (
+        HttpFetcher,
+        sniff_image_fmt,
+    )
+
+    pixels = syn.make_image(syn.h64("httpimg", 1))
+    png = C.encode_image(pixels, "png")
+    assert sniff_image_fmt(png) == "png"
+    assert sniff_image_fmt(C.encode_image(pixels, "jpeg")) == "jpeg"
+    assert sniff_image_fmt(b"garbage") == ""
+
+    html = (
+        '<html><body><p>Company Number 76543210</p>'
+        '<img src="/media/photo.png" alt="a test caption">'
+        '<a href="/about">about</a></body></html>'
+    )
+
+    class Resp:
+        def __init__(self, status_code, text="", content=b""):
+            self.status_code, self.text, self.content = status_code, text, content
+
+    def transport(url, timeout, headers):
+        if url.endswith("/media/photo.png"):
+            return Resp(200, content=png)
+        if url.endswith("/broken"):
+            return Resp(200, text='<img src="/media/bad.png">')
+        if url.endswith("/media/bad.png"):
+            # PNG magic but corrupt body: sniffs png, decode fails
+            return Resp(200, content=b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        return Resp(200, text=html)
+
+    page = HttpFetcher(transport=transport).fetch("http://example.com/")
+    assert page.status == 200 and page.target_number == "76543210"
+    assert page.image_fmt == "png" and page.image_bytes == png
+    assert (page.h, page.w) == pixels.shape[:2]
+    assert page.phash == C.phash64(pixels)
+    assert page.caption == "a test caption"
+
+    bad = HttpFetcher(transport=transport).fetch("http://example.com/broken")
+    assert bad.image_fmt == "png" and bad.w == 0 and bad.h == 0
+
+    plain = HttpFetcher(transport=transport, fetch_images=False).fetch(
+        "http://example.com/"
+    )
+    assert plain.image_bytes == b""
