@@ -284,16 +284,43 @@ class SeenSet:
 
     def rollback(self, last_good_round: int) -> None:
         """Drop seen rows from rounds after ``last_good_round`` and
-        rebuild Bloom shards from the exact table.
+        restore the prefilter sidecars to match.
 
         Used on resume: a crash between the seen append and the
         checkpoint commit may leave a partial round in the exact
         table; rollback restores the seen set to exactly the last
         committed snapshot (byte-identical resume contract).
+
+        Bloom path: full per-shard rebuild from the surviving exact
+        rows (bits can't be un-set). Cuckoo path: INCREMENTAL — the
+        rolled-back rounds' rows are read with partition pruning
+        (``first_round > R`` directories only), materialized, and
+        their fingerprints DELETED from each shard's sidecar, so
+        rollback cost is O(rows of the rolled-back rounds) instead of
+        O(total seen set) — the structural payoff of the cuckoo
+        filter at the 10^10 design point. Saturated shards (deletes
+        unreliable there: a failed insert left some key without a
+        stored copy) and any shard whose delete misses fall back to
+        the full rebuild. Crash-safety ordering: exact partitions are
+        deleted BEFORE sidecar updates run (on the pre-materialized
+        rows), so a re-run after any crash finds nothing to delete
+        and at worst leaves STALE fingerprints — extra *maybe*s,
+        never a false negative.
         """
         if not self._has_exact():
             return
         import shutil
+
+        rolled = None
+        if self.filter_kind == "cuckoo":
+            rolled = (
+                self.exact_df()
+                .where(F.col("first_round") > last_good_round)
+                .select("shard", "surt")
+                .localCheckpoint(eager=True)  # materialize BEFORE the
+                # file deletes below (the scan is partition-pruned to
+                # the rolled-back first_round directories)
+            )
 
         # partition layout shard=S/first_round=R -> rollback is a
         # filesystem delete, no table rewrite
@@ -310,15 +337,30 @@ class SeenSet:
                     if rnd > last_good_round:
                         shutil.rmtree(os.path.join(sd, rd), ignore_errors=True)
 
+        if rolled is not None:
+            rebuild_shards = self._cuckoo_delete_keys(rolled)
+            rolled.unpersist()
+            if rebuild_shards:
+                self._rebuild_sidecars(
+                    self.exact_df().where(F.col("shard").isin(rebuild_shards))
+                )
+            self._bitmaps = None
+            return
+
+        shutil.rmtree(os.path.join(self.path, "bloom"), ignore_errors=True)
+        os.makedirs(os.path.join(self.path, "bloom"), exist_ok=True)
+        self._rebuild_sidecars(self.exact_df())
+        self._bitmaps = None
+
+    def _rebuild_sidecars(self, rows: DataFrame) -> None:
+        """Rebuild the sidecar of every shard present in ``rows``
+        from scratch, task-side (tmp + rename) — no bitmap bytes
+        cross the driver even for a full-set rebuild."""
         bits, k = self.bits, self.k
         kind, n_buckets = self.filter_kind, self.cuckoo_buckets
         bloom_dir = os.path.join(self.path, "bloom")
 
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            """Rebuild one shard's filter and publish the sidecar file
-            from the task itself (tmp + rename) — no bitmap bytes
-            cross the driver even for a full-set rebuild. The returned
-            ack row is one int per shard."""
             shard = int(key[0])
             if kind == "bloom":
                 bitmap = np.zeros(bits, dtype=bool)
@@ -336,17 +378,49 @@ class SeenSet:
             os.replace(tmp, os.path.join(bloom_dir, f"shard={shard}.npy"))
             return pd.DataFrame({"shard": [shard]})
 
-        shutil.rmtree(bloom_dir, ignore_errors=True)
-        os.makedirs(bloom_dir, exist_ok=True)
         (
-            self.exact_df()
-            .groupBy("shard")
+            rows.groupBy("shard")
             .applyInPandas(build_bitmap, schema="shard int")
             .write.format("noop")
             .mode("overwrite")
             .save()
         )
-        self._bitmaps = None
+
+    def _cuckoo_delete_keys(self, rolled: DataFrame) -> list[int]:
+        """Delete the rolled-back keys' fingerprints from their shard
+        sidecars (one task per shard, tmp + rename). Returns the
+        shards that need a full rebuild instead: saturated ones
+        (deletes unreliable — a failed insert left some key without a
+        stored copy, so removing a shared fingerprint could create a
+        false negative) and any shard where a delete found no copy."""
+        bloom_dir = os.path.join(self.path, "bloom")
+        n_buckets = self.cuckoo_buckets
+
+        def drop_keys(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            f = os.path.join(bloom_dir, f"shard={shard}.npy")
+            if not os.path.exists(f):
+                return pd.DataFrame({"shard": [shard], "rebuild": [False]})
+            cf = CuckooShard.from_array(np.load(f))
+            if cf.saturated:
+                return pd.DataFrame({"shard": [shard], "rebuild": [True]})
+            missing = sum(0 if cf.delete(s) else 1 for s in pdf["surt"])
+            if missing:
+                return pd.DataFrame({"shard": [shard], "rebuild": [True]})
+            tmp = os.path.join(
+                bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy"
+            )
+            with open(tmp, "wb") as fh:
+                np.save(fh, cf.to_array())
+            os.replace(tmp, f)
+            return pd.DataFrame({"shard": [shard], "rebuild": [False]})
+
+        acks = (
+            rolled.groupBy("shard")
+            .applyInPandas(drop_keys, schema="shard int, rebuild boolean")
+            .collect()
+        )
+        return [r.shard for r in acks if r.rebuild]
 
     # -- bloom sidecar ---------------------------------------------------
 

@@ -317,3 +317,74 @@ def test_cuckoo_crawl_replay_identical(spark, small_spec):
         assert {r.surt for r in eng.seen.exact_df().collect()} == o.seen
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_incremental_rollback_deletes_fingerprints(spark):
+    """Cuckoo rollback is INCREMENTAL: the rolled-back keys'
+    fingerprints are deleted from the sidecars (probed directly —
+    the exact-confirm join would mask a no-op), while committed
+    keys stay present."""
+    from common_crawl___autumn_2025_spark.crawl.cuckoo import probe_packed
+
+    root = tempfile.mkdtemp(prefix="seen_ckinc_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 14,
+            filter_kind="cuckoo",
+        )
+        keep = [f"com,keep{i})/" for i in range(40)]
+        drop = [f"org,drop{i})/" for i in range(40)]
+        seen.add(spark.createDataFrame([(s,) for s in keep], "surt string"), 0)
+        seen.add(spark.createDataFrame([(s,) for s in drop], "surt string"), 1)
+        seen.rollback(0)
+        bitmaps = seen.load_bitmaps()
+        shard_of = {
+            r.surt: r.shard
+            for r in spark.createDataFrame(
+                [(s,) for s in keep + drop], "surt string"
+            ).select("surt", shard_expr("surt", 2).alias("shard")).collect()
+        }
+        for s in keep:
+            assert probe_packed(bitmaps[shard_of[s]], s), s
+        dropped_hits = sum(
+            probe_packed(bitmaps[shard_of[s]], s) for s in drop
+        )
+        # fingerprints removed: at most FP-rate stragglers (8-bit fp,
+        # near-empty table -> expect 0, tolerate 2)
+        assert dropped_hits <= 2, dropped_hits
+        assert {r.surt for r in seen.exact_df().collect()} == set(keep)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_rollback_rebuilds_saturated_shards(spark):
+    """A saturated cuckoo shard cannot delete reliably — rollback
+    must fall back to a full rebuild of that shard (and the rebuilt
+    shard, holding only the surviving keys, fits again)."""
+    root = tempfile.mkdtemp(prefix="seen_cksat_")
+    try:
+        # 2 shards x (bits 256 -> 8 buckets x 4 slots = 32 keys max)
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=256,
+            filter_kind="cuckoo",
+        )
+        keep = [f"com,k{i})/" for i in range(10)]
+        flood = [f"org,f{i})/" for i in range(300)]  # saturates shards
+        seen.add(spark.createDataFrame([(s,) for s in keep], "surt string"), 0)
+        seen.add(spark.createDataFrame([(s,) for s in flood], "surt string"), 1)
+        bitmaps = seen.load_bitmaps()
+        assert any(arr[0] for arr in bitmaps.values())  # saturated flag
+        seen.rollback(0)
+        out = {
+            r.surt
+            for r in seen.filter_unseen(
+                spark.createDataFrame(
+                    [(s,) for s in keep + flood[:20]], "surt string"
+                )
+            ).collect()
+        }
+        assert out == set(flood[:20])  # keeps filtered, flood unseen again
+        bitmaps = seen.load_bitmaps()
+        assert not any(arr[0] for arr in bitmaps.values())  # rebuilt clean
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
