@@ -250,7 +250,7 @@ def main():
     eff_big_q = (q_lo["crawl_big_sec"] / q_hi["crawl_big_sec"]) / 4
 
     # headline N->4N pairing: 2 vs 8 cores. Both levels run strictly
-    # inside the shared box's spare capacity (load gate 6 + 8 cores
+    # inside the shared box's spare capacity (load gate 3.5 + 8 cores
     # < 32 hardware threads), so neither level is clipped by
     # neighbors or SMT — the unsaturated-cluster regime the north
     # rule's add-executors criterion is about. The 8-core level
@@ -365,7 +365,8 @@ N->4N scaling efficiency, all three pairings:
 
 Target >= 0.8 raw at an N->4N pairing. The 2->8 pairing is the
 headline because it is the only one where BOTH levels run strictly
-inside this shared 32-thread box's spare capacity (load-gated at 6):
+inside this shared 32-thread box's spare capacity (load-gated at
+3.5):
 neither level is clipped by SMT sharing or neighbor bursts, which is
 exactly the add-executors-to-an-unsaturated-cluster regime the north
 rule's criterion describes. The higher pairings degrade for

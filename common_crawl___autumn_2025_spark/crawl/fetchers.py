@@ -28,8 +28,9 @@ from dataclasses import dataclass, field
 from .. import synthetic as syn
 from ..canonical import canonicalize, host_of, surt
 
-_IMG_SRC_RE = re.compile(r"<img[^>]*?src=[\"']([^\"']+)", re.IGNORECASE)
-_IMG_ALT_RE = re.compile(r"<img[^>]*?alt=[\"']([^\"']*)", re.IGNORECASE)
+_IMG_TAG_RE = re.compile(r"<img\b[^>]*>", re.IGNORECASE)
+_SRC_ATTR_RE = re.compile(r"\bsrc=[\"']([^\"']+)", re.IGNORECASE)
+_ALT_ATTR_RE = re.compile(r"\balt=[\"']([^\"']*)", re.IGNORECASE)
 
 
 def sniff_image_fmt(data: bytes) -> str:
@@ -120,10 +121,21 @@ class HttpFetcher:
         record fields. Any failure (transport, bad payload) leaves
         the page imageless — the record row is simply absent/flagged,
         the crawl never stops for a broken image."""
-        m = _IMG_SRC_RE.search(page.html)
-        if not m:
+        # src and alt are taken from the SAME tag: the first <img>
+        # that actually has a src (pairing the first src with the
+        # first alt anywhere in the document would caption image A
+        # with image B's text)
+        src = alt = None
+        for tag_m in _IMG_TAG_RE.finditer(page.html):
+            sm = _SRC_ATTR_RE.search(tag_m.group(0))
+            if sm:
+                src = sm.group(1)
+                am = _ALT_ATTR_RE.search(tag_m.group(0))
+                alt = am.group(1) if am else ""
+                break
+        if src is None:
             return
-        img_url = canonicalize(m.group(1), base=page.url)
+        img_url = canonicalize(src, base=page.url)
         if not img_url:
             return
         try:
@@ -138,8 +150,7 @@ class HttpFetcher:
             return
         page.image_bytes = data
         page.image_fmt = fmt
-        alt = _IMG_ALT_RE.search(page.html)
-        page.caption = alt.group(1) if alt else ""
+        page.caption = alt or ""
         try:
             from ..codecs import decode_image, phash64
 

@@ -381,10 +381,11 @@ class CrawlEngine:
           ``run_round`` callers whose engine state ``run()`` never
           seeded."""
         if not self._mirror_valid:
+            # no distinct: left_anti is insensitive to right-side
+            # duplicates, and the dedup aggregate would cost an extra
+            # full exchange over matches on every invocation
             return df.join(
-                matches.select("seed_id").distinct(),
-                on=["seed_id"],
-                how="left_anti",
+                matches.select("seed_id"), on=["seed_id"], how="left_anti"
             )
         n = len(self._matched_ids)
         if n == 0:

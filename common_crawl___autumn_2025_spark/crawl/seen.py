@@ -124,8 +124,10 @@ class SeenSet:
         self.filter_kind = filter_kind
         # cuckoo table with the same byte budget as the packed bloom:
         # bits/8 bytes = n_buckets * 4 slots * 1 byte -> bits/32
-        # buckets, rounded down to a power of two (xor-partial-key)
-        self.cuckoo_buckets = max(8, 1 << ((bits_per_shard // 32).bit_length() - 1))
+        # buckets, rounded down to a power of two (xor-partial-key);
+        # floor of 8 buckets (bits_per_shard < 256 would otherwise
+        # shift by a negative count)
+        self.cuckoo_buckets = 1 << max(3, (bits_per_shard // 32).bit_length() - 1)
         self._bitmaps: dict[int, np.ndarray] | None = None
         os.makedirs(os.path.join(path, "bloom"), exist_ok=True)
 
@@ -341,6 +343,19 @@ class SeenSet:
             rebuild_shards = self._cuckoo_delete_keys(rolled)
             rolled.unpersist()
             if rebuild_shards:
+                # drop the flagged shards' sidecars BEFORE the rebuild:
+                # a rebuild-flagged shard whose every row was rolled
+                # back has no surviving group in the rebuild job, and
+                # leaving its (possibly saturated) table behind would
+                # answer *maybe* forever. No-rows shards simply end
+                # with no sidecar — correct, since they have nothing
+                # to be positive about; add() recreates it on the next
+                # insert.
+                for shard in rebuild_shards:
+                    try:
+                        os.remove(self._bloom_file(shard))
+                    except FileNotFoundError:
+                        pass
                 self._rebuild_sidecars(
                     self.exact_df().where(F.col("shard").isin(rebuild_shards))
                 )
@@ -388,13 +403,28 @@ class SeenSet:
 
     def _cuckoo_delete_keys(self, rolled: DataFrame) -> list[int]:
         """Delete the rolled-back keys' fingerprints from their shard
-        sidecars (one task per shard, tmp + rename). Returns the
-        shards that need a full rebuild instead: saturated ones
-        (deletes unreliable — a failed insert left some key without a
-        stored copy, so removing a shared fingerprint could create a
-        false negative) and any shard where a delete found no copy."""
+        sidecars. Returns the shards that need a full rebuild instead:
+        saturated ones (deletes unreliable — a failed insert left some
+        key without a stored copy, so removing a shared fingerprint
+        could create a false negative) and any shard where a delete
+        found no copy.
+
+        RETRY SAFETY: deletion is NOT idempotent (a task retry
+        re-deleting from an already-updated sidecar could remove a
+        *surviving* key's shared fingerprint — a false negative), so
+        tasks never modify the live sidecar. Each task derives its
+        updated table from the ORIGINAL sidecar and writes it to a
+        staging directory; a retry recomputes the identical staged
+        file. The DRIVER publishes the staged files with atomic
+        renames only after the job has fully succeeded. A crash
+        before/among the renames leaves original/stale sidecars —
+        extra *maybe*s only."""
         bloom_dir = os.path.join(self.path, "bloom")
-        n_buckets = self.cuckoo_buckets
+        stage_dir = os.path.join(bloom_dir, ".rollback-stage")
+        import shutil as _shutil
+
+        _shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
 
         def drop_keys(key, pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
@@ -407,12 +437,10 @@ class SeenSet:
             missing = sum(0 if cf.delete(s) else 1 for s in pdf["surt"])
             if missing:
                 return pd.DataFrame({"shard": [shard], "rebuild": [True]})
-            tmp = os.path.join(
-                bloom_dir, f".tmp.shard={shard}.{os.getpid()}.npy"
-            )
+            tmp = os.path.join(stage_dir, f".tmp.shard={shard}.{os.getpid()}.npy")
             with open(tmp, "wb") as fh:
                 np.save(fh, cf.to_array())
-            os.replace(tmp, f)
+            os.replace(tmp, os.path.join(stage_dir, f"shard={shard}.npy"))
             return pd.DataFrame({"shard": [shard], "rebuild": [False]})
 
         acks = (
@@ -420,6 +448,14 @@ class SeenSet:
             .applyInPandas(drop_keys, schema="shard int, rebuild boolean")
             .collect()
         )
+        # job fully succeeded: publish the staged sidecars
+        for name in os.listdir(stage_dir):
+            if name.startswith("shard="):
+                os.replace(
+                    os.path.join(stage_dir, name),
+                    os.path.join(bloom_dir, name),
+                )
+        _shutil.rmtree(stage_dir, ignore_errors=True)
         return [r.shard for r in acks if r.rebuild]
 
     # -- bloom sidecar ---------------------------------------------------

@@ -467,6 +467,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            if ns != len(comps):
+                # a non-interleaved / multi-scan baseline stream
+                # (legal per T.81) would need further scans we do not
+                # parse — refuse rather than return a desaturated
+                # image with all-zero chroma planes
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG not supported"
+                )
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
                 idx = next(
@@ -525,7 +533,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         spatial = np.einsum("ji,njk,kl->nil", DCT_A, blocks, DCT_A) + 128.0
         planes.append(_from_blocks(spatial, ph, pw)[:h, :w])
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
+        y = np.clip(np.round(planes[0]), 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -491,3 +491,17 @@ def test_http_fetcher_image_record_fields():
         "http://example.com/"
     )
     assert plain.image_bytes == b""
+
+    # src and alt must come from the SAME tag: first img (fetched)
+    # has no alt; the second img's caption must NOT be borrowed
+    def transport2(url, timeout, headers):
+        if url.endswith("/media/photo.png"):
+            return Resp(200, content=png)
+        return Resp(
+            200,
+            text='<img src="/media/photo.png">'
+                 '<img src="/media/other.png" alt="wrong caption">',
+        )
+
+    paired = HttpFetcher(transport=transport2).fetch("http://example.com/")
+    assert paired.image_bytes == png and paired.caption == ""
