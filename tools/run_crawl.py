@@ -41,6 +41,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--seen-shards", type=int, default=16)
     ap.add_argument("--seen-bits", type=int, default=1 << 20)
+    ap.add_argument(
+        "--seen-filter",
+        choices=("bloom", "cuckoo"),
+        default="bloom",
+        help="URL-seen prefilter kind (cuckoo = deletion-capable, "
+        "incremental rollback)",
+    )
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +65,7 @@ def main() -> None:
         max_rounds=args.rounds,
         seen_shards=args.seen_shards,
         seen_bits_per_shard=args.seen_bits,
+        seen_filter=args.seen_filter,
     )
     seeds = syn.seed_urls(spec.web, args.seeds)
     t0 = time.time()
