@@ -8,8 +8,9 @@ ships its own lossless codecs:
 - PNG: 8-bit RGB, zlib-deflated, all five PNG filter types supported
   on decode; encode uses filter 0 (None) per scanline.
 - PPM: binary P6, 8-bit RGB.
-- JPEG: baseline sequential 4:4:4, own DCT/Huffman implementation
-  (see ``jpeg.py``) — the LOSSY path, verified against the
+- JPEG: own DCT/Huffman implementation (see ``jpeg.py``) — decodes
+  baseline AND progressive (SOF2) streams at any integer sampling
+  (4:4:4 / 4:2:2 / 4:2:0); the LOSSY path, verified against the
   PSNR >= 40 dB floor.
 
 For the lossless formats the per-row invariant (decoded-pixel

@@ -6,10 +6,11 @@ driver testdata has no binary column; every operator here is
 rows-only for the oracle harness (binary payloads are not
 SQL-expressible) and is additionally pytest-asserted.
 
-Decode for png/ppm is REAL (own codecs). Other modalities (jpeg,
-audio, video frame-sampling) are stubbed behind NotImplementedError
-with the Spark-side plumbing — schema, partitioning, Arrow batch
-shape — fully in place, as the environment ships no media libraries.
+Decode for png/ppm/jpeg is REAL (own codecs — jpeg covers baseline
+AND progressive SOF2, 4:4:4/4:2:2/4:2:0 sampling; see ``jpeg.py``).
+Modalities the runtime genuinely cannot decode (audio, video —
+no media libraries ship in this environment) flow through the same
+plumbing and are row-flagged, never crash the job.
 """
 
 from __future__ import annotations
@@ -212,4 +213,91 @@ def m04_modality_stub(spark, sf_dir):
         .groupBy("fmt", "decode_ok")
         .agg(F.count("*").alias("n"))
         .orderBy("fmt", "decode_ok")
+    )
+
+
+VARIANTS = (
+    ("baseline_444", "444", False),
+    ("baseline_422", "422", False),
+    ("baseline_420", "420", False),
+    ("progressive_420", "420", True),
+)
+
+N_VARIANT_KEYS = 24
+
+VARIANT_SCHEMA = (
+    "variant string, n bigint, n_decode_ok bigint, min_psnr_db double, "
+    "exact_vs_sequential bigint"
+)
+
+
+@register("m05_jpeg_variants")  # rows-only: binary payloads
+def m05_jpeg_variants(spark, sf_dir):
+    """Real-corpus JPEG layouts end-to-end: baseline 4:4:4, 4:2:2,
+    4:2:0 and progressive (SOF2) 4:2:0 payloads are encoded AND
+    decoded by the engine's own codec inside one ``mapInPandas``
+    pass. Every variant must decode with PSNR >= 40 dB against the
+    pre-encode reference pixels (smooth low-frequency content — the
+    chroma a 4:2:0 web image actually carries), and every progressive
+    payload must decode bit-identical to its sequential twin (same
+    quantized coefficients; the entropy layer is lossless).
+
+    4:2:0 baseline is the dominant real-web JPEG layout and SOF2 the
+    second; both were refused-and-flagged before round 4 — this entry
+    is the driver-visible evidence they now decode."""
+    from ..jpeg import decode_jpeg, encode_jpeg
+
+    base = spark.range(
+        0, N_VARIANT_KEYS, 1, spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                img = syn.make_smooth_image(syn.h64("m05", int(i)))
+                for variant, sub, prog in VARIANTS:
+                    data = encode_jpeg(
+                        img, quality=98, subsampling=sub, progressive=prog
+                    )
+                    try:
+                        px = decode_jpeg(data)
+                        ok = px.shape == img.shape
+                        p = float(min(psnr(img, px), 99.0)) if ok else 0.0
+                        seq_exact = True
+                        if prog:
+                            seq = decode_jpeg(
+                                encode_jpeg(img, quality=98, subsampling=sub)
+                            )
+                            seq_exact = bool(np.array_equal(px, seq))
+                    except Exception:  # noqa: BLE001 — flag, don't crash
+                        ok, p, seq_exact = False, 0.0, False
+                    out.append(
+                        {
+                            "variant": variant,
+                            "decode_ok": bool(ok and p >= 40.0),
+                            "psnr_db": p,
+                            "exact_vs_sequential": bool(seq_exact),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    per_payload = base.mapInPandas(
+        run,
+        schema=(
+            "variant string, decode_ok boolean, psnr_db double, "
+            "exact_vs_sequential boolean"
+        ),
+    )
+    return (
+        per_payload.groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+            F.round(F.min("psnr_db"), 4).alias("min_psnr_db"),
+            F.sum(F.col("exact_vs_sequential").cast("long")).alias(
+                "exact_vs_sequential"
+            ),
+        )
+        .orderBy("variant")
     )

@@ -69,6 +69,30 @@ GOV_HOSTS = ("www.stats.gov.uk", "www.registry.gov.uk")
 # image + caption payloads
 # ---------------------------------------------------------------------------
 
+def make_smooth_image(key: int, min_side: int = 16, max_side: int = 48) -> np.ndarray:
+    """Deterministic low-frequency RGB image — realistic content for
+    chroma-subsampled JPEG paths. ``make_image``'s per-pixel Gaussian
+    noise and saturated high-frequency chroma are exactly what 4:2:0
+    discards by design (any encoder, libjpeg included, lands ~20 dB
+    on it), so the subsampled-codec invariants verify on content
+    whose chroma a web image actually has: smooth, low-frequency."""
+    g = np.random.Generator(np.random.PCG64(key))
+    h = int(g.integers(min_side, max_side + 1))
+    w = int(g.integers(min_side, max_side + 1))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 127.5 + 80.0 * np.sin(
+        2 * np.pi * (0.08 * xx + 0.05 * yy) + g.uniform(0, 2 * np.pi)
+    )
+    img = np.zeros((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        fx, fy = g.uniform(0.01, 0.05, size=2)
+        tint = 127.5 + 70.0 * np.sin(
+            2 * np.pi * (fx * xx + fy * yy) + g.uniform(0, 2 * np.pi)
+        )
+        img[:, :, c] = 0.6 * base + 0.4 * tint
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def make_image(key: int, min_side: int = 8, max_side: int = 32) -> np.ndarray:
     """Deterministic smooth-ish RGB test image for a 64-bit key."""
     g = np.random.Generator(np.random.PCG64(key))

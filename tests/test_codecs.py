@@ -228,31 +228,93 @@ def test_jpeg_via_codecs_dispatch():
     )
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_subsampled_roundtrip_psnr():
+    """4:2:0 / 4:2:2 baseline — the dominant real-web JPEG layouts —
+    clear the input_hint PSNR floor on smooth low-frequency content
+    (the chroma a real web image carries; saturated per-pixel chroma
+    noise is exactly what subsampling discards by design, in any
+    encoder) across odd/even and non-multiple-of-MCU sizes."""
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
+
+    for sub in ("420", "422"):
+        for i in range(6):
+            img = syn.make_smooth_image(syn.h64("sub", sub, i))
+            out = decode_jpeg(encode_jpeg(img, quality=98, subsampling=sub))
+            assert out.shape == img.shape and out.dtype == np.uint8
+            assert C.psnr(img, out) >= 40.0, (sub, i)
+
+
+def test_jpeg_progressive_equals_sequential():
+    """Progressive (SOF2) encoding is a lossless re-ordering of the
+    same quantized coefficients: decoded pixels must be BIT-IDENTICAL
+    to the sequential encoding at every quality/subsampling — the
+    strongest possible cross-check of the spectral-selection +
+    successive-approximation + EOB-run machinery on both sides."""
+    from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for sub in ("444", "422", "420"):
+        for hh, ww in ((16, 16), (17, 23), (9, 8), (27, 33)):
+            img = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+            seq = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+            pro = decode_jpeg(
+                encode_jpeg(img, quality=90, subsampling=sub, progressive=True)
+            )
+            assert np.array_equal(seq, pro), (sub, hh, ww)
+
+
+def test_jpeg_corrupt_streams_raise_value_error_only():
+    """Foreign/corrupt payloads must keep the documented error
+    contract: every truncation point and every flipped byte either
+    decodes (to garbage pixels) or raises ValueError — never
+    IndexError/KeyError/OverflowError (callers row-flag on
+    ValueError; anything else would be a latent crash)."""
     import pytest as _pytest
 
     from common_crawl___autumn_2025_spark import synthetic as syn
     from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
 
-    img = syn.make_image(syn.h64("reject", 2))
-    data = bytearray(encode_jpeg(img))
-
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
-    sof = data.find(b"\xff\xc0")
-    prog = bytes(data[:sof + 1]) + b"\xc2" + bytes(data[sof + 2:])
-    with _pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(prog)
-
-    # claim 2x2 subsampling for component 1: refuse (4:4:4 only)
-    sub = bytearray(data)
-    # SOF0 layout: FF C0 len(2) precision h(2) w(2) nc, then per
-    # component (cid, sampling, tq) — comp 1's sampling byte is +11
-    sub[sof + 11] = 0x22
-    with _pytest.raises(ValueError, match="subsampling"):
-        decode_jpeg(bytes(sub))
+    img = syn.make_smooth_image(syn.h64("corrupt", 1), 16, 24)
+    for prog in (False, True):
+        full = encode_jpeg(img, subsampling="420", progressive=prog)
+        for cut in range(2, len(full), 3):  # truncation sweep
+            try:
+                decode_jpeg(full[:cut])
+            except ValueError:
+                pass
+        for pos in range(2, len(full), 5):  # bit-corruption sweep
+            b = bytearray(full)
+            b[pos] ^= 0xFF
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_rejects_unsupported_processes():
+    """Arithmetic-coded (SOF9) and 12-bit streams stay honestly
+    refused with ValueError (row-flagged upstream, never
+    mis-decoded)."""
+    import pytest as _pytest
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(syn.make_image(syn.h64("reject", 2))))
+    sof = data.find(b"\xff\xc0")
+
+    arith = bytes(data[:sof + 1]) + b"\xc9" + bytes(data[sof + 2:])
+    with _pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(arith)
+
+    twelve = bytearray(data)
+    twelve[sof + 4] = 12  # precision byte
+    with _pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(twelve))
 
 
 def test_jpeg_grayscale_decode():
