@@ -41,6 +41,8 @@ import hashlib
 
 import numpy as np
 
+from .hashing import cuckoo_parts_vec, xxh64_str
+
 SLOTS_PER_BUCKET = 4
 MAX_KICKS = 500
 
@@ -59,12 +61,21 @@ _FP_HASH = np.array(
 
 def key_parts(s: str, n_buckets: int) -> tuple[int, int, int]:
     """(fingerprint 1..255, bucket1, bucket2) for a key string.
-    ``n_buckets`` must be a power of two (xor-partial-key trick)."""
-    d = hashlib.blake2b(s.encode("utf-8"), digest_size=16, person=b"cuckoo").digest()
-    fp = (d[0] % 255) + 1  # 0 means empty slot
-    i1 = int.from_bytes(d[1:9], "big") & (n_buckets - 1)
+    ``n_buckets`` must be a power of two (xor-partial-key trick).
+
+    Derived from the SAME xxh64 value Spark's ``xxhash64(surt)``
+    column carries (``hashing.py``), so string-built and column-built
+    sidecars are interchangeable — the hot paths never call this,
+    they pass precomputed h1 arrays to ``parts_from_h``."""
+    return parts_from_h(xxh64_str(s), n_buckets)
+
+
+def parts_from_h(h1: int, n_buckets: int) -> tuple[int, int, int]:
+    """(fingerprint, bucket1, bucket2) from a precomputed uint64."""
+    fp = (h1 >> 56) % 255 + 1  # 0 means empty slot
+    i1 = h1 & (n_buckets - 1)
     i2 = (i1 ^ int(_FP_HASH[fp])) & (n_buckets - 1)
-    return fp, i1, i2
+    return int(fp), int(i1), int(i2)
 
 
 class CuckooShard:
@@ -114,7 +125,11 @@ class CuckooShard:
     def insert(self, s: str) -> bool:
         """Insert; returns False (and flips ``saturated``) if the
         deterministic eviction walk exhausts its kick budget."""
-        fp, i1, i2 = key_parts(s, self.n_buckets)
+        return self.insert_parts(*key_parts(s, self.n_buckets))
+
+    def insert_parts(self, fp: int, i1: int, i2: int) -> bool:
+        """Insert from precomputed (fingerprint, bucket1, bucket2) —
+        the column hot path (no string hashing)."""
         for b in (i1, i2):
             row = self.table[b]
             empty = np.nonzero(row == 0)[0]
@@ -147,7 +162,10 @@ class CuckooShard:
         """Remove one copy of the key's fingerprint (False if absent).
         Only sound for keys that were actually inserted (standard
         cuckoo-filter caveat)."""
-        fp, i1, i2 = key_parts(s, self.n_buckets)
+        return self.delete_parts(*key_parts(s, self.n_buckets))
+
+    def delete_parts(self, fp: int, i1: int, i2: int) -> bool:
+        """Delete from precomputed parts — the column hot path."""
         for b in (i1, i2):
             row = self.table[b]
             hits = np.nonzero(row == fp)[0]
@@ -162,15 +180,21 @@ class CuckooShard:
 
 def probe_packed(arr: np.ndarray, s: str) -> bool:
     """Probe a serialized shard (``to_array`` layout) without
-    materializing a CuckooShard — the executor-side fast path,
-    mirroring ``seen.packed_test`` for Bloom."""
+    materializing a CuckooShard — string convenience over the
+    vectorized ``probe_packed_vec`` the executors use."""
+    h1 = np.array([xxh64_str(s)], dtype=np.uint64)
+    return bool(probe_packed_vec(arr, h1)[0])
+
+
+def probe_packed_vec(arr: np.ndarray, h1: np.ndarray) -> np.ndarray:
+    """Vectorized membership of uint64 keys in a serialized shard:
+    two fancy-indexed bucket gathers + fingerprint compares, no
+    per-key Python. Saturated shards answer all-*maybe*."""
     if arr[0]:
-        return True  # saturated
+        return np.ones(len(h1), dtype=bool)  # saturated
     n_buckets = (arr.size - 1) // SLOTS_PER_BUCKET
-    fp, i1, i2 = key_parts(s, n_buckets)
-    base1 = 1 + i1 * SLOTS_PER_BUCKET
-    base2 = 1 + i2 * SLOTS_PER_BUCKET
-    return bool(
-        (arr[base1 : base1 + SLOTS_PER_BUCKET] == fp).any()
-        or (arr[base2 : base2 + SLOTS_PER_BUCKET] == fp).any()
+    fp, i1, i2 = cuckoo_parts_vec(h1, n_buckets, _FP_HASH)
+    tbl = arr[1:].reshape(n_buckets, SLOTS_PER_BUCKET)
+    return ((tbl[i1] == fp[:, None]).any(axis=1)) | (
+        (tbl[i2] == fp[:, None]).any(axis=1)
     )

@@ -388,3 +388,132 @@ def test_cuckoo_rollback_rebuilds_saturated_shards(spark):
         assert not any(arr[0] for arr in bitmaps.values())  # rebuilt clean
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 hardening: shared hash definition, format stamp, crash-safe
+# cuckoo rebuilds, sidecar diagnostics
+# ---------------------------------------------------------------------------
+
+def test_python_xxh64_matches_spark(spark):
+    """The sidecar hash contract: hashing.xxh64_str must be bit-equal
+    to Spark's xxhash64 column (seed 42) — string-built and
+    column-built sidecars are interchangeable only because of this."""
+    from pyspark.sql import functions as F
+
+    from common_crawl___autumn_2025_spark.crawl.hashing import xxh64_str
+
+    samples = [
+        "", "a", "abc", "com,example)/path?q=1", "x" * 7, "y" * 8,
+        "z" * 31, "w" * 32, "v" * 33, "unicode-é-漢字",
+    ] + [f"com,host{i:03d})/p/{i}" for i in range(50)]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh64_str(r.s) == r.h & ((1 << 64) - 1), r.s
+
+
+def test_sidecar_format_stamp_guards_incompatible_state(spark):
+    """A SeenSet refuses sidecars stamped with a different geometry /
+    filter kind, and refuses UNstamped (pre-v2) shard files — both
+    would silently probe false (false negatives) otherwise."""
+    root = tempfile.mkdtemp(prefix="seen_fmt_")
+    try:
+        seen = SeenSet(spark, root, n_shards=2, bits_per_shard=1 << 12)
+        df = spark.createDataFrame([("com,a)/",), ("com,b)/",)], "surt string")
+        seen.add(df, round_no=0)
+        assert seen.load_bitmaps()  # same params: fine
+
+        other = SeenSet(spark, root, n_shards=2, bits_per_shard=1 << 13)
+        with pytest.raises(ValueError, match="incompatible"):
+            other.load_bitmaps()
+        wrong_kind = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 12,
+            filter_kind="cuckoo",
+        )
+        with pytest.raises(ValueError, match="incompatible"):
+            wrong_kind.add(df, round_no=1)
+
+        # unstamped layout: shard files but no FORMAT file
+        import os
+
+        os.remove(seen._format_file())
+        seen._bitmaps = None
+        with pytest.raises(ValueError, match="unstamped"):
+            seen.load_bitmaps()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_rollback_rebuild_crash_recovery(spark):
+    """ADVICE r3 (medium): a crash after rollback removed a
+    rebuild-flagged shard's sidecar must NOT leave that shard
+    probing definitely-unseen on its surviving exact rows. Simulate
+    the crash window (marker written, sidecars removed, rebuild never
+    ran) and assert the next probe first completes the rebuild —
+    zero false negatives."""
+    import json
+    import os
+
+    root = tempfile.mkdtemp(prefix="seen_crash_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 12,
+            filter_kind="cuckoo",
+        )
+        surts = [f"com,site{i:03d})/" for i in range(200)]
+        df = spark.createDataFrame([(s,) for s in surts], "surt string")
+        seen.add(df, round_no=0)
+
+        # simulate: rollback flagged both shards, crashed mid-rebuild
+        pf = seen._pending_file()
+        with open(pf, "w") as fh:
+            json.dump([0, 1], fh)
+        for shard in (0, 1):
+            os.remove(seen._bloom_file(shard))
+        seen._bitmaps = None
+
+        probe = spark.createDataFrame(
+            [(s,) for s in surts] + [("com,unseen)/x",)], "surt string"
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {"com,unseen)/x"}  # every seen surt still filtered
+        assert not os.path.exists(pf)  # marker cleared after rebuild
+        assert os.path.exists(seen._bloom_file(0))
+        assert os.path.exists(seen._bloom_file(1))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sidecar_stats_visibility(spark):
+    """Load-factor / saturation visibility (ADVICE r3): stats expose
+    cuckoo load so operators can compact before shards saturate."""
+    root = tempfile.mkdtemp(prefix="seen_stats_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 12,
+            filter_kind="cuckoo",
+        )
+        df = spark.createDataFrame(
+            [(f"com,s{i:03d})/",) for i in range(100)], "surt string"
+        )
+        seen.add(df, round_no=0)
+        stats = seen.sidecar_stats()
+        assert len(stats) == 2
+        for st in stats:
+            assert st["kind"] == "cuckoo" and not st["saturated"]
+            assert 0.0 < st["load_factor"] < 0.9
+
+        broot = tempfile.mkdtemp(prefix="seen_statsb_")
+        try:
+            bseen = SeenSet(spark, broot, n_shards=2, bits_per_shard=1 << 12)
+            bseen.add(df, round_no=0)
+            bstats = bseen.sidecar_stats()
+            assert all(0.0 < st["fill"] < 0.5 for st in bstats)
+        finally:
+            shutil.rmtree(broot, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
