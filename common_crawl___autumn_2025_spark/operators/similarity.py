@@ -242,7 +242,8 @@ _R6_COS = (
 
 _IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}),
 asn AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, cent.cid,
@@ -355,19 +356,28 @@ def ivf_topk(
 @register("v04_ann_ivf_flat", _IVF_ORACLE)
 def v04_ann_ivf_flat(spark, sf_dir):
     """IVF-Flat ANN (the survey's alternative scale path to LSH):
-    deterministic centroids = the first N_CELLS corpus vectors (the
-    standard sampled-centroid IVF init, made seed-free so the DuckDB
-    oracle reproduces it exactly), nprobe-cell probing, exact re-rank
-    within probed cells. Fully oracle-checked — assignment, probing,
-    and ranking all use the same rounded-cosine + id tiebreak on both
-    engines."""
+    deterministic centroids = an ORDER-STABLE UNIFORM SAMPLE of
+    N_CELLS corpus vectors, ranked by md5 of the vector id (the o05
+    md5-rank machinery) — unlike "first N rows", the sample is
+    insertion-order-independent, so a corpus whose early rows share
+    structure (one crawl host, one shard) cannot bias the codebook
+    and silently degrade recall at scale. Seed-free and mirrored
+    exactly in the DuckDB oracle; k-means refinement drops in without
+    changing the plan. nprobe-cell probing, exact re-rank within
+    probed cells; assignment, probing, and ranking all use the same
+    rounded-cosine + id tiebreak on both engines. The centroid
+    collect stays bounded at N_CELLS rows (TakeOrderedAndProject —
+    no global sort)."""
     emb = load(spark, sf_dir, "embeddings")
     cent_rows = (
-        emb.where(F.col("vec_id") < N_CELLS)
-        .orderBy("vec_id")
-        .select("embedding")
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", "embedding")
         .collect()
     )
-    centroids = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    # matrix rows ascending by vec_id: the UDF's argmax breaks
+    # near-ties by row index, the oracle by cent.cid — same order
+    cent_rows.sort(key=lambda r: r[0])
+    centroids = np.array([r[1] for r in cent_rows], dtype=np.float64)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, centroids)
