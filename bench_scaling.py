@@ -90,7 +90,18 @@ def crawl_once(spec, n_seeds):
         summary = eng.run(seeds)
         sec = time.time() - t0
         fetched = sum(r["fetched"] for r in summary["rounds"])
-        return sec, fetched
+        # per-phase wall-times summed across rounds (run_round's
+        # phase_sec + the commit timing from the run summary)
+        phases = dict()
+        for r in summary["rounds"]:
+            ph = r.get("phase_sec") or dict()
+            for k, v in ph.items():
+                phases[k] = round(phases.get(k, 0.0) + float(v), 3)
+            if "commit_sec" in r:
+                phases["commit"] = round(
+                    phases.get("commit", 0.0) + float(r["commit_sec"]), 3
+                )
+        return sec, fetched, phases
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -98,13 +109,13 @@ def crawl_once(spec, n_seeds):
 if not big_only:
     small_spec = CrawlSpec(web=syn.WebConfig(n_hosts=800), max_depth=1,
                            max_rounds=3)
-    small_sec, small_fetched = crawl_once(small_spec, 800)
+    small_sec, small_fetched, _ = crawl_once(small_spec, 800)
 else:
     records_sec, small_sec, small_fetched = 1e9, 1e9, 0
 
 big_spec = CrawlSpec(web=syn.WebConfig(n_hosts=60000), max_depth=1,
                      max_rounds=2)
-big_sec, big_fetched = crawl_once(big_spec, 60000)
+big_sec, big_fetched, big_phases = crawl_once(big_spec, 60000)
 
 print(json.dumps({{
     "cores": cores, "records": N,
@@ -116,6 +127,7 @@ print(json.dumps({{
     "crawl_big_sec": round(big_sec, 3),
     "crawl_big_fetched": big_fetched,
     "crawl_big_urls_per_sec": round(big_fetched / big_sec, 2),
+    "crawl_big_phases": big_phases,
 }}))
 spark.stop()
 """
@@ -209,7 +221,9 @@ TIME_KEYS = ("records_sec", "crawl_small_sec", "crawl_big_sec")
 RATE_FOR = {
     "records_sec": ("records_per_sec",),
     "crawl_small_sec": ("crawl_small_urls_per_sec",),
-    "crawl_big_sec": ("crawl_big_urls_per_sec",),
+    # phases travel with the best big-crawl trial so the per-phase
+    # table reflects the same measurement the headline numbers use
+    "crawl_big_sec": ("crawl_big_urls_per_sec", "crawl_big_phases"),
 }
 
 
@@ -265,9 +279,26 @@ def main():
     eff_records = eff("records_sec")
     eff_small = eff("crawl_small_sec")
     eff_big = eff("crawl_big_sec")
+    # per-phase 4->16 accounting: where does the sub-ceiling residual
+    # live? (VERDICT r3 asked for a phase-level attribution)
+    ph_lo = q_lo.get("crawl_big_phases", {}) or {}
+    ph_hi = q_hi.get("crawl_big_phases", {}) or {}
+    phase_table = []
+    for k in sorted(set(ph_lo) | set(ph_hi)):
+        lo_s, hi_s = ph_lo.get(k), ph_hi.get(k)
+        e = round((lo_s / hi_s) / 4, 3) if lo_s and hi_s else None
+        phase_table.append(
+            {"phase": k, "sec_4c": lo_s, "sec_16c": hi_s, "eff_4_16": e}
+        )
+
     result = {
         "metric": "scaling_efficiency_crawl_rounds_large_n_to_4n",
         "value": round(eff_big_d, 3),  # the 2->8 N->4N pairing
+        # longitudinal continuity (ADVICE r3): the top-level value's
+        # basis, plus the pre-r3 basis (8->32 raw) as an explicit
+        # first-class key so historical JSON comparisons stay valid
+        "value_pairing": "2->8",
+        "value_prior_basis_8_32": round(eff_big, 3),
         "unit": "ratio",
         "lo": r_lo,
         "hi": r_hi,
@@ -288,6 +319,7 @@ def main():
             "urls_per_sec": q_hi["crawl_big_urls_per_sec"],
             "loadavg_trials": q_hi["loadavg_trials"],
         },
+        "crawl_large_phase_table_4_16": phase_table,
         "efficiency_crawl_large_4_16": round(eff_big_q, 3),
         "efficiency_crawl_large_4_16_vs_ceiling": round(
             eff_big_q / ceiling_q, 3
@@ -306,6 +338,11 @@ def main():
     }
     print(json.dumps(result))
 
+    phase_rows = "\n".join(
+        f"| {r['phase']} | {r['sec_4c']} | {r['sec_16c']} | "
+        f"{r['eff_4_16'] if r['eff_4_16'] is not None else '-'} |"
+        for r in phase_table
+    )
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 The north rule's two-cluster-size criterion (throughput scaling
@@ -376,6 +413,15 @@ to {ceiling_q:.2f} (4->16) and {ceiling:.2f} (8->32), and at 32 task
 threads the JVM plus the per-task Python workers oversubscribe the
 32 hardware threads (executors on a real cluster pin fewer cores
 each, and the fetch stage is network-bound there anyway).
+
+### Per-phase 4->16 accounting
+
+Where the 4->16 residual lives (phase wall-times summed over the two
+rounds, best trial at each level; eff = (T_4 / T_16) / 4):
+
+| phase | 4c sec | 16c sec | raw eff |
+|---|---|---|---|
+{phase_rows}
 
 At the 10^10-frontier design point a round is 10^7-10^9 URLs, which
 amortizes the measured ~4-6 s/round fixed cost to <1% of round

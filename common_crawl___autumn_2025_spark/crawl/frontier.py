@@ -814,6 +814,7 @@ class CrawlEngine:
             fetch_log = fetched.drop("bytes", "admitted", "caption").coalesce(
                 write_parts
             )
+            t_commit = time.time()
             manifest = self.store.commit(
                 round_no,
                 {
@@ -830,12 +831,18 @@ class CrawlEngine:
                 spec.config_hash(),
                 concurrent=frontier_count <= self.concurrent_commit_threshold,
             )
+            commit_sec = round(time.time() - t_commit, 3)
             fetched.unpersist()
             for df in getattr(self, "_pending_cleanup", []):
                 df.unpersist()
             self._pending_cleanup = []
+            # commit wall-time rides the summary only (manifest metrics
+            # are frozen pre-commit; c02 reads the manifest keys) — the
+            # scaling harness aggregates it with phase_sec for the
+            # per-phase N->4N accounting
             summary["rounds"].append({**manifest["metrics"], "round": round_no,
-                                      "snapshot_id": manifest["snapshot_id"]})
+                                      "snapshot_id": manifest["snapshot_id"],
+                                      "commit_sec": commit_sec})
             frontier = self.store.read_table(round_no, "frontier")
             matches = self.store.read_table(round_no, "matches")
             frontier_count = manifest["tables"]["frontier"]["rows"]
