@@ -183,6 +183,31 @@ def build_robots_table(
     return hosts_df.mapInPandas(fetch_parse, schema=ROBOTS_SCHEMA)
 
 
+class SyntheticRobotsTransport:
+    """Picklable fake transport serving each synthetic host's
+    ``robots_for_host`` rules as a real robots.txt body — the
+    replay-equality fixture for tests and the c05 catalog row (the
+    sandbox has no network; the builder's fetch/parse path is
+    exercised against this deterministic server)."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, url: str, timeout=None, headers=None):
+        from .. import synthetic as syn
+
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        dis, delay = syn.robots_for_host(syn.WebConfig(seed=self.seed), host)
+
+        class _Resp:
+            status_code = 200
+
+            def __init__(self, text):
+                self.text = text
+
+        return _Resp(render_robots(dis, delay))
+
+
 def render_robots(disallow: list[str], crawl_delay: float | None) -> str:
     """Serialize rules as a robots.txt body (the synthetic robots
     server in tests round-trips ``synthetic.robots_for_host`` through

@@ -126,3 +126,29 @@ def c04_crawl_cuckoo_seen(spark, sf_dir):
         )
         logs = t if logs is None else logs.unionByName(t)
     return logs.orderBy("round", "host", "seq")
+
+
+@register("c05_robots_table_live")  # rows-only: transport fetch path
+def c05_robots_table_live(spark, sf_dir):
+    """Live robots.txt ingestion (crawl/robots.py) driven end to end
+    against the deterministic synthetic robots server: fetch
+    /robots.txt per host inside mapInPandas, parse User-agent groups /
+    Disallow / Crawl-delay into the politeness schema. The replay
+    test suite additionally asserts byte-equality with the synthetic
+    truth table and identical politeness schedules."""
+    from ..crawl.robots import SyntheticRobotsTransport, build_robots_table
+
+    cfg = syn.WebConfig()
+    hosts = spark.createDataFrame(
+        [(syn.host_name(cfg, i),) for i in range(40)], "host string"
+    )
+    return (
+        build_robots_table(spark, hosts, transport=SyntheticRobotsTransport())
+        .select(
+            "host",
+            F.size("disallow").alias("n_disallow"),
+            F.concat_ws("|", "disallow").alias("disallow_paths"),
+            "crawl_delay",
+        )
+        .orderBy("host")
+    )

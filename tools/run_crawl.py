@@ -49,6 +49,14 @@ def main() -> None:
         "incremental rollback)",
     )
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--seen-stats",
+        action="store_true",
+        help="append per-shard seen-sidecar health to the summary "
+        "(cuckoo load factor / saturation, bloom bit-fill) — the "
+        "compact-before-saturation visibility lever; O(sidecar "
+        "bytes) driver reads, run at checkpoint boundaries",
+    )
     args = ap.parse_args()
 
     from common_crawl___autumn_2025_spark import synthetic as syn
@@ -82,6 +90,11 @@ def main() -> None:
                 "fetched": fetched,
                 "urls_per_sec": round(fetched / elapsed, 2) if elapsed else None,
                 "checkpoint": args.checkpoint,
+                **(
+                    {"seen_sidecars": engine.seen.sidecar_stats()}
+                    if args.seen_stats
+                    else {}
+                ),
             }
         )
     )
