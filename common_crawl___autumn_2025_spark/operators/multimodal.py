@@ -301,3 +301,145 @@ def m05_jpeg_variants(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+# -- E5: end-to-end IMAGE curation (the multimodal twin of e04) -------------
+
+E05_N = 96
+E05_TWIN_OFFSET = 1_000_000
+E05_HAMMING = 8
+
+
+def image_near_dup_pairs(hashed, max_hamming: int = E05_HAMMING):
+    """(doc_a, doc_b) near-duplicate image pairs from PIXEL-derived
+    phashes: 16-bit band blocking (any-band-equal — the m03 LSH
+    analog, never all-pairs) + exact popcount verify, all JVM-side.
+    ``hashed``: (img_id long, ph long)."""
+    bands = hashed.select(
+        "img_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ph"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("img_id", "ph", "bk.band", "bk.key").localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("doc_a"),
+            F.col("b.img_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register("e05_image_curation")  # rows-only: binary payloads
+def e05_image_curation(spark, sf_dir):
+    """E5: the full IMAGE-corpus curation flow — what the crawl's
+    record table feeds at 100 TB — with every stage in its scale
+    shape:
+
+    1. corpus with PLANTED near-duplicates: every 3rd record is
+       re-encoded as 4:2:0 JPEG under a shifted id (same pixels,
+       different bytes AND different container — the classic
+       re-hosted-thumbnail duplicate);
+    2. decode → perceptual hash derived FROM PIXELS inside one
+       ``mapInPandas`` pass (metadata is never trusted — exactly the
+       m01 posture);
+    3. banded phash near-dup pairs (16-bit bands, popcount verify —
+       blocked, never all-pairs);
+    4. connected components via the O(log n) large-star/small-star
+       algorithm (d06 — the 100 TB component path);
+    5. keep the min-id representative per component, aggregate the
+       curated corpus per format.
+
+    Deterministic end to end (rows-only for the oracle harness:
+    binary payloads + own-codec decode are not SQL-expressible); the
+    planted-twin containment is pytest-asserted."""
+    from ..jpeg import encode_jpeg
+    from .dedup import dup_components_star
+
+    base = syn.records_df(spark, E05_N, seed=11, fmts=("png", "ppm", "jpeg"))
+
+    def make_twins(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                idx = int(row.image_id.removeprefix("img"))
+                if idx % 3:
+                    continue
+                px = decode_image(bytes(row.bytes), row.fmt)
+                data = encode_jpeg(px, quality=90, subsampling="420")
+                out.append(
+                    {
+                        "image_id": f"img{idx + E05_TWIN_OFFSET:09d}",
+                        "bytes": data,
+                        "w": row.w,
+                        "h": row.h,
+                        "fmt": "jpeg",
+                        "caption": row.caption,
+                        "phash": row.phash,  # re-derived from pixels below
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                         "phash"],
+            )
+
+    corpus = base.unionByName(base.mapInPandas(make_twins, schema=syn.RECORD_SCHEMA))
+
+    def hash_pixels(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = decode_image(bytes(row.bytes), row.fmt)
+                out.append(
+                    {
+                        "img_id": int(row.image_id.removeprefix("img")),
+                        "fmt": row.fmt,
+                        "ph": phash64(px),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["img_id", "fmt", "ph"])
+
+    hashed = corpus.mapInPandas(
+        hash_pixels, schema="img_id long, fmt string, ph long"
+    ).localCheckpoint(eager=True)  # consumed by bands AND the final agg
+
+    pairs = image_near_dup_pairs(hashed)
+    comps = dup_components_star(pairs)
+    dropped = comps.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("img_id")
+    )
+    kept = hashed.join(dropped, on=["img_id"], how="left_anti")
+    return (
+        kept.groupBy("fmt")
+        .agg(F.count("*").alias("n_kept"))
+        .join(
+            hashed.groupBy("fmt").agg(F.count("*").alias("n_in")),
+            on=["fmt"],
+        )
+        .select("fmt", "n_in", "n_kept", (F.col("n_in") - F.col("n_kept")).alias("n_dropped"))
+        .orderBy("fmt")
+    )

@@ -381,3 +381,83 @@ def v04_ann_ivf_flat(spark, sf_dir):
     centroids = np.array([r[1] for r in cent_rows], dtype=np.float64)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, centroids)
+
+
+# -- IVF-Flat with distributed k-means refinement ---------------------------
+
+KMEANS_ITERS = 2
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means refinement of an IVF codebook, distributed:
+
+    per iteration: (1) assign every corpus vector to its nearest
+    centroid (the same Arrow-batched rounded-cosine UDF the IVF index
+    uses — one scan, centroids broadcast in the closure); (2) new
+    centroid = per-dimension mean of its members, computed as
+    posexplode → groupBy(cell, pos) avg — a partial-aggregated shuffle
+    of bounded width (cells × dim rows reach the driver, never
+    vectors), then L2-normalized (spherical); empty cells keep their
+    previous centroid.
+
+    The canonical Lloyd loop in Spark terms: iterative driver loop,
+    one codegen'd scan + one partial-agg shuffle per iteration,
+    driver state bounded at n_cells × dim floats. No oracle: the
+    per-cell float means are summation-order-dependent across
+    engines, so cross-engine equality is not meaningful — validation
+    is the recall/objective pytest
+    (``test_dedup_similarity.py::test_v05_kmeans_refinement``)."""
+    dim = centroids.shape[1]
+    cents = centroids.astype(np.float64)
+    for _ in range(iters):
+        cell_udf, _probes = ivf_assign_udfs(cents, 1)
+        sums = (
+            emb.select(
+                cell_udf(F.col("embedding")).alias("cell"),
+                F.posexplode(F.col("embedding")),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.full((cents.shape[0], dim), np.nan)
+        for r in sums:
+            acc[r.cell, r.pos] = r.m
+        for c in range(cents.shape[0]):
+            if not np.isnan(acc[c]).any():
+                n = np.linalg.norm(acc[c])
+                if n > 0:
+                    new[c] = acc[c] / n
+        cents = new
+    return cents
+
+
+@register("v05_ann_ivf_kmeans")  # rows-only: see kmeans_refine docstring
+def v05_ann_ivf_kmeans(spark, sf_dir):
+    """IVF-Flat over a k-means-REFINED codebook: v04's md5-rank
+    seeded sample is the init, two distributed Lloyd iterations
+    tighten it (assignment scan + partial-agg mean per iteration),
+    then the same nprobe/exact-re-rank index answers the queries.
+    This is the full production IVF construction (sample → refine →
+    index) with every stage in its 100 TB shape: scans are
+    Arrow-batched with broadcast centroids, the mean is a
+    partial-aggregated shuffle of cells × dim rows, and driver state
+    never exceeds the codebook."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r[0])
+    init = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    refined = kmeans_refine(emb, init, iters=KMEANS_ITERS)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, q, refined)
