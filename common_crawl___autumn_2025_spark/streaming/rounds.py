@@ -250,3 +250,91 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register("st04_streaming_record_decode")  # rows-only: binary payloads
+def st04_streaming_record_decode(spark, sf_dir):
+    """Streaming MULTIMODAL ingest: the canonical image+caption record
+    table consumed as a file stream (one micro-batch per staged file),
+    every payload decoded + verified against the independently
+    re-derived reference INSIDE the stream (``decode_verify``'s
+    ``mapInPandas`` is a stateless streaming transform), aggregated
+    per format. Defined to equal the batch decode_verify aggregate —
+    asserted by tests/test_entry_and_streaming.py; the catalog row is
+    rows-only (binary payloads)."""
+    return stream_records_decode(spark, sf_dir)
+
+
+def stream_records_decode(
+    spark: SparkSession,
+    sf_dir: str,
+    n_records: int = 96,
+    n_files: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """True Structured Streaming over BINARY image records: stage the
+    deterministic record table into ``n_files`` parquet files with
+    ascending mtimes, consume with ``maxFilesPerTrigger=1`` so the
+    decode genuinely runs per micro-batch, aggregate decode outcomes
+    per format (complete mode, availableNow drain). The 100 TB shape
+    of a crawl's ingest tail: records land as files, decoding rides
+    the stream, only scalar per-format counters accumulate."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .. import synthetic as syn
+    from ..operators.multimodal import decode_verify
+
+    records = syn.records_df(spark, n_records, seed=seed)
+    stage_dir = tempfile.mkdtemp(prefix="stream_rec_")
+    work_dir = tempfile.mkdtemp(prefix="stream_rec_w_")
+    bucketed = records.withColumn(
+        "__b", F.ntile(n_files).over(Window.orderBy("image_id"))
+    )
+    now = time.time()
+    for i in range(1, n_files + 1):
+        part = os.path.join(work_dir, f"b{i}")
+        bucketed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(part, files[0]), dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(records.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage_dir)
+    )
+    agg = (
+        decode_verify(stream, ref_seed=seed)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("phash_match").cast("long")).alias("n_phash_ok"),
+            F.sum("caption_tokens").alias("caption_tokens"),
+        )
+    )
+    name = "stream_records_decode_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "record decode stream did not drain within 300s"
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name}").orderBy("fmt")

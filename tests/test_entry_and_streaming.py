@@ -102,3 +102,42 @@ def test_stateful_sessionization_equals_batch(spark, sf_dir):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_record_decode_equals_batch(spark):
+    """st04: decoding the binary record stream per micro-batch must
+    produce the identical per-format aggregate as the batch pipeline
+    over the same deterministic records."""
+    from pyspark.sql import functions as F
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.operators.multimodal import (
+        decode_verify,
+    )
+    from common_crawl___autumn_2025_spark.streaming.rounds import (
+        stream_records_decode,
+    )
+
+    streamed = {
+        tuple(r)
+        for r in stream_records_decode(
+            spark, "", n_records=60, n_files=3, seed=9
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in decode_verify(
+            syn.records_df(spark, 60, seed=9), ref_seed=9
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("phash_match").cast("long")).alias("n_phash_ok"),
+            F.sum("caption_tokens").alias("caption_tokens"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) >= 2
+    # every payload decoded clean through the stream
+    assert all(n == ok for _, n, ok, _, _ in streamed)

@@ -119,3 +119,34 @@ def test_admit_link_scope_mode_invariants(page_host, link_host, kw):
     got8 = admit_link(p8, page_url, page_host, href)
     if got8 is not None:  # P8: admitted links always leave the netloc
         assert host_of(got8) != host_of(canonicalize(page_url))
+
+
+# -- JPEG codec properties ---------------------------------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=60, max_value=100),
+    st.sampled_from(["444", "422", "420"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_progressive_equals_sequential_property(h, w, quality, sub, seed):
+    """For ANY image/quality/subsampling, progressive (SOF2) encoding
+    must decode bit-identically to sequential: both carry the same
+    quantized coefficients and the entropy layer is lossless, so any
+    defect in spectral selection, successive approximation, EOB runs
+    or the optimal-Huffman writer breaks equality."""
+    import numpy as np
+
+    from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.Generator(np.random.PCG64(seed)).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    seq = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    pro = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub, progressive=True)
+    )
+    assert seq.shape == img.shape
+    assert np.array_equal(seq, pro)
