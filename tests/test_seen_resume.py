@@ -517,3 +517,43 @@ def test_sidecar_stats_visibility(spark):
             shutil.rmtree(broot, ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_double_add_retry_semantics(spark):
+    """Task retries / speculative duplicates re-run sidecar updates.
+    Bloom re-OR is strictly idempotent; cuckoo duplicate inserts
+    inflate load (the documented non-idempotence) but NEVER produce a
+    false negative, and the inflation is visible via sidecar_stats —
+    the operator's compaction signal."""
+    surts = [f"com,retry{i:03d})/" for i in range(150)]
+    for kind in ("bloom", "cuckoo"):
+        root = tempfile.mkdtemp(prefix=f"seen_dup_{kind}_")
+        try:
+            seen = SeenSet(
+                spark, root, n_shards=2, bits_per_shard=1 << 13,
+                filter_kind=kind,
+            )
+            df = spark.createDataFrame([(s,) for s in surts], "surt string")
+            seen.add(df, round_no=0)
+            load1 = [
+                st.get("load_factor", st.get("fill"))
+                for st in seen.sidecar_stats()
+            ]
+            seen.add(df, round_no=1)  # the "retry": identical delta
+            seen._bitmaps = None
+            probe = spark.createDataFrame(
+                [(s,) for s in surts] + [("com,fresh)/x",)], "surt string"
+            )
+            out = {r.surt for r in seen.filter_unseen(probe).collect()}
+            assert out == {"com,fresh)/x"}  # zero false negatives
+            load2 = [
+                st.get("load_factor", st.get("fill"))
+                for st in seen.sidecar_stats()
+            ]
+            if kind == "bloom":  # re-OR: bit-fill unchanged
+                assert load2 == load1
+            else:  # duplicate fingerprints: inflation is OBSERVABLE
+                assert all(b > a for a, b in zip(load1, load2))
+                assert not any(st["saturated"] for st in seen.sidecar_stats())
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
