@@ -86,7 +86,14 @@ class CheckpointStore:
 
     # metric name -> table whose committed row count supplies it
     # (footer-derived — avoids one Spark count job per metric per round)
-    ROW_METRICS = {"fetched": "fetch_log", "matches_total": "matches"}
+    ROW_METRICS = {"fetched": "fetch_log"}
+    # metric name -> table whose rows ACCUMULATE across the snapshot
+    # chain: value = this round's delta rows + the parent manifest's
+    # metric. The matches table is committed as a PER-ROUND DELTA
+    # (rewriting the cumulative set each round is an O(rounds x
+    # matches) write amplification that grows without bound at the
+    # 10^10 design point); the manifest metric stays cumulative.
+    CUMULATIVE_ROW_METRICS = {"matches_total": "matches"}
 
     def commit(
         self,
@@ -132,10 +139,22 @@ class CheckpointStore:
                 "rows": sum(p["rows"] for p in parts),
                 "partitions": parts,
             }
+        committed_below = [
+            r for r in self._committed_rounds() if r < round_no
+        ]
+        parent = max(committed_below) if committed_below else None
         metrics = dict(metrics)
         for metric, table in self.ROW_METRICS.items():
             if metric not in metrics and table in table_meta:
                 metrics[metric] = table_meta[table]["rows"]
+        for metric, table in self.CUMULATIVE_ROW_METRICS.items():
+            if metric not in metrics and table in table_meta:
+                base = (
+                    self.read_manifest(parent)["metrics"].get(metric, 0)
+                    if parent is not None
+                    else 0
+                )
+                metrics[metric] = base + table_meta[table]["rows"]
         # commit wall-time is measured HERE, before the manifest is
         # serialized, so the on-disk manifest and the returned summary
         # report the same phase timings (it excludes only the json
@@ -147,10 +166,6 @@ class CheckpointStore:
         # parent derives from the ROUND NUMBER, not latest_round():
         # recommitting round 0 over an existing root would otherwise
         # point its manifest at round N and make lineage() a cycle.
-        committed_below = [
-            r for r in self._committed_rounds() if r < round_no
-        ]
-        parent = max(committed_below) if committed_below else None
         manifest = {
             "round": round_no,
             "parent_round": parent,
@@ -194,6 +209,22 @@ class CheckpointStore:
 
     def read_table(self, round_no: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._round_dir(round_no), name))
+
+    def delta_table_paths(self, name: str, upto: int | None = None) -> list[str]:
+        """Directories of a per-round-delta table for all committed
+        rounds <= ``upto`` (default: all). The matches table is stored
+        this way: cumulative state = one multi-path parquet scan over
+        the deltas (compact the chain offline if a crawl accumulates
+        thousands of rounds)."""
+        rounds = self._committed_rounds()
+        if upto is not None:
+            rounds = [r for r in rounds if r <= upto]
+        out = []
+        for r in rounds:
+            path = os.path.join(self._round_dir(r), name)
+            if os.path.isdir(path):
+                out.append(path)
+        return out
 
     def lineage(self, round_no: int | None = None) -> list[dict]:
         """Manifest chain from the given (default latest) round back to 0.

@@ -503,8 +503,11 @@ class CrawlEngine:
         matches: DataFrame,
         frontier_count: int | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:
-        """Returns (next_frontier, fetched, new_matches_cum, records,
-        metrics). Job economy: the only counted relations are the tiny
+        """Returns (next_frontier, fetched, new_matches_DELTA, records,
+        metrics) — the matches value is only this round's NEW matches
+        (the checkpoint commits it as a per-round delta; cumulative
+        state is ``read_matches_cum``'s multi-path scan).
+        Job economy: the only counted relations are the tiny
         new-matched-seed-id collect; fetch/match totals come from
         checkpoint parquet footers, and ``frontier_count`` is passed
         from the previous round's manifest (or len(seeds)) instead of
@@ -689,6 +692,7 @@ class CrawlEngine:
                 self._matched_df_n = None
         matches_cum = matches.unionByName(new_matches)
         phase["new_matches"] = round(time.time() - t0, 3)
+        del matches  # from here on: matches_cum (expansion) / new_matches (commit)
 
         # 8. link expansion from unsatisfied seeds' 200-pages
         expandable = fetched.where(
@@ -746,11 +750,24 @@ class CrawlEngine:
             "deduped_attempted": n_attempted,
             "phase_sec": phase,
             # fetched / matches_total are filled by CheckpointStore.commit
-            # from the committed tables' parquet footers
+            # from the committed tables' parquet footers (matches_total
+            # cumulatively: delta rows + parent manifest's total)
         }
-        return next_frontier, fetched, matches_cum, records, metrics
+        return next_frontier, fetched, new_matches, records, metrics
 
     # -- full crawl --------------------------------------------------------
+
+    def read_matches_cum(self, upto: int | None = None):
+        """Cumulative matches as of round ``upto`` (default latest):
+        one multi-path parquet scan over the per-round DELTA tables —
+        the committed matches table holds only each round's NEW
+        matches (rewriting the cumulative set every round is
+        O(rounds x matches) write amplification at the design
+        point)."""
+        paths = self.store.delta_table_paths("matches", upto)
+        if not paths:
+            return self.spark.createDataFrame([], MATCH_SCHEMA)
+        return self.spark.read.parquet(*paths)
 
     def run(self, seeds: list[str], resume: bool = False) -> dict:
         spark, spec = self.spark, self.spec
@@ -782,12 +799,12 @@ class CrawlEngine:
                         "checkpoint config mismatch — refusing to resume"
                     )
                 frontier = self.store.read_table(latest, "frontier")
-                matches = self.store.read_table(latest, "matches")
+                matches = self.read_matches_cum(latest)
                 # only rebuild the driver mirror while it is small
-                # (footer row count — no job); a resume with 10^7+
-                # matches keeps the table-anti-join path instead of
-                # collecting them all to the driver
-                n_matched = m["tables"]["matches"]["rows"]
+                # (manifest cumulative counter — no job); a resume
+                # with 10^7+ matches keeps the table-anti-join path
+                # instead of collecting them all to the driver
+                n_matched = m["metrics"].get("matches_total", 0)
                 if n_matched <= self.matched_mirror_limit:
                     self._matched_ids = {
                         r[0] for r in matches.select("seed_id").collect()
@@ -807,7 +824,7 @@ class CrawlEngine:
         for round_no in range(start_round, spec.max_rounds):
             if frontier_count == 0:
                 break
-            nxt, fetched, matches, records, metrics = self.run_round(
+            nxt, fetched, match_delta, records, metrics = self.run_round(
                 round_no, frontier, matches, frontier_count=frontier_count
             )
             write_parts = self._parts(frontier_count, 8192)
@@ -820,11 +837,14 @@ class CrawlEngine:
                 {
                     "frontier": nxt,
                     "fetch_log": fetch_log,
-                    # repartition, NOT coalesce: coalesce(1) over this
-                    # union+window plan measured 6× slower than the
-                    # explicit tiny shuffle (it drags the window stage
-                    # into the single coalesced task)
-                    "matches": matches.repartition(write_parts),
+                    # PER-ROUND DELTA: only this round's new matches
+                    # are written; cumulative state is the multi-path
+                    # read below (read_matches_cum). Repartition, NOT
+                    # coalesce: coalesce(1) over the window plan
+                    # measured 6× slower than the explicit tiny
+                    # shuffle (it drags the window stage into the
+                    # single coalesced task)
+                    "matches": match_delta.repartition(write_parts),
                     "records": records,
                 },
                 metrics,
@@ -844,6 +864,8 @@ class CrawlEngine:
                                       "snapshot_id": manifest["snapshot_id"],
                                       "commit_sec": commit_sec})
             frontier = self.store.read_table(round_no, "frontier")
-            matches = self.store.read_table(round_no, "matches")
+            # committed-state re-read truncates lineage; matches is the
+            # union of all committed deltas (bounded path list)
+            matches = self.read_matches_cum(round_no)
             frontier_count = manifest["tables"]["frontier"]["rows"]
         return summary

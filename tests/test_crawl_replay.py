@@ -74,7 +74,7 @@ def test_matches_identical(engine_run, oracle_result):
     latest = eng.store.latest_round()
     eng_matches = {
         row.seed_id: (row.url, row.surt, row.target_number, row.round)
-        for row in eng.store.read_table(latest, "matches").collect()
+        for row in eng.read_matches_cum(latest).collect()
     }
     assert eng_matches == oracle_result.matches
 
@@ -180,7 +180,7 @@ def test_no_early_exit_matches_first_ever_only(spark):
         eng = CrawlEngine(spark, spec_ne, root, partitions=4)
         eng.run(seeds_ne)
         latest = eng.store.latest_round()
-        rows = eng.store.read_table(latest, "matches").collect()
+        rows = eng.read_matches_cum(latest).collect()
         assert len(rows) == len({r.seed_id for r in rows})  # no dup seeds
         got = {r.seed_id: (r.url, r.surt, r.target_number, r.round) for r in rows}
         assert got == o.matches
@@ -342,7 +342,7 @@ def test_matched_mirror_bound_replay_identical(
         latest = eng.store.latest_round()
         got = {
             row.seed_id: (row.url, row.surt, row.target_number, row.round)
-            for row in eng.store.read_table(latest, "matches").collect()
+            for row in eng.read_matches_cum(latest).collect()
         }
         assert got == oracle_result.matches
 

@@ -119,7 +119,7 @@ def test_resume_equals_uninterrupted(spark, small_spec):
             seen = sorted(r.surt for r in eng.seen.exact_df().collect())
             m = sorted(
                 (r.seed_id, r.surt, r.target_number, r.round)
-                for r in eng.store.read_table(latest, "matches").collect()
+                for r in eng.read_matches_cum(latest).collect()
             )
             return log, seen, m
 
