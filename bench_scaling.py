@@ -90,17 +90,15 @@ def crawl_once(spec, n_seeds):
         summary = eng.run(seeds)
         sec = time.time() - t0
         fetched = sum(r["fetched"] for r in summary["rounds"])
-        # per-phase wall-times summed across rounds (run_round's
-        # phase_sec + the commit timing from the run summary)
+        # per-phase wall-times summed across rounds: phase_sec carries
+        # ALL phases including commit (CheckpointStore.commit injects
+        # its own timing — adding any separate commit measurement here
+        # would double-count it)
         phases = dict()
         for r in summary["rounds"]:
             ph = r.get("phase_sec") or dict()
             for k, v in ph.items():
                 phases[k] = round(phases.get(k, 0.0) + float(v), 3)
-            if "commit_sec" in r:
-                phases["commit"] = round(
-                    phases.get("commit", 0.0) + float(r["commit_sec"]), 3
-                )
         return sec, fetched, phases
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -831,7 +831,6 @@ class CrawlEngine:
             fetch_log = fetched.drop("bytes", "admitted", "caption").coalesce(
                 write_parts
             )
-            t_commit = time.time()
             manifest = self.store.commit(
                 round_no,
                 {
@@ -851,18 +850,15 @@ class CrawlEngine:
                 spec.config_hash(),
                 concurrent=frontier_count <= self.concurrent_commit_threshold,
             )
-            commit_sec = round(time.time() - t_commit, 3)
             fetched.unpersist()
             for df in getattr(self, "_pending_cleanup", []):
                 df.unpersist()
             self._pending_cleanup = []
-            # commit wall-time rides the summary only (manifest metrics
-            # are frozen pre-commit; c02 reads the manifest keys) — the
-            # scaling harness aggregates it with phase_sec for the
-            # per-phase N->4N accounting
+            # manifest metrics already carry the full per-round phase
+            # timings INCLUDING commit (CheckpointStore.commit measures
+            # and injects phase_sec["commit"] itself)
             summary["rounds"].append({**manifest["metrics"], "round": round_no,
-                                      "snapshot_id": manifest["snapshot_id"],
-                                      "commit_sec": commit_sec})
+                                      "snapshot_id": manifest["snapshot_id"]})
             frontier = self.store.read_table(round_no, "frontier")
             # committed-state re-read truncates lineage; matches is the
             # union of all committed deltas (bounded path list)

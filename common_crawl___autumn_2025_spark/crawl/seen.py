@@ -424,14 +424,27 @@ class SeenSet:
 
         rolled = None
         if self.filter_kind == "cuckoo":
-            rolled = (
-                self.exact_df()
-                .where(F.col("first_round") > last_good_round)
-                .select("shard", "surt")
-                .localCheckpoint(eager=True)  # materialize BEFORE the
-                # file deletes below (the scan is partition-pruned to
-                # the rolled-back first_round directories)
-            )
+            try:
+                # the incremental delete derives fingerprints/buckets
+                # under THIS SeenSet's geometry+hash — running it
+                # against sidecars written under any other spec could
+                # remove a surviving key's entry (a false negative).
+                # Incompatible state degrades to the full rebuild
+                # below, which regenerates everything under the
+                # current spec.
+                self._check_format()
+            except ValueError:
+                rolled = None
+            else:
+                rolled = (
+                    self.exact_df()
+                    .where(F.col("first_round") > last_good_round)
+                    .select("shard", "surt")
+                    .localCheckpoint(eager=True)  # materialize BEFORE
+                    # the file deletes below (the scan is
+                    # partition-pruned to the rolled-back first_round
+                    # directories)
+                )
 
         # partition layout shard=S/first_round=R -> rollback is a
         # filesystem delete, no table rewrite
@@ -749,10 +762,23 @@ class SeenSet:
         # shard ids AND the sidecar hash seed come from one JVM
         # projection in BOTH probe modes — the Python pass starts with
         # everything it needs and does only vectorized numpy indexing
-        # (no per-key hashing; VERDICT r3 "What's wrong" #3)
+        # (no per-key hashing; VERDICT r3 "What's wrong" #3). A NULL
+        # surt maps to sentinel shard -1 / h1 0 so the probe columns
+        # stay non-null int64 (a NULL would reach pandas as float64
+        # NaN and crash int conversion); shard -1 matches no sidecar,
+        # so null-surt rows pass through as unseen — the same
+        # behavior the per-row probe had, and the exact-confirm anti
+        # join cannot match them either (NULL never equals).
+        notnull = F.col(surt_col).isNotNull()
         with_shard = frontier.withColumn(
-            "__shard", shard_expr(surt_col, n_shards)
-        ).withColumn("__h1", h1_expr(surt_col))
+            "__shard",
+            F.when(notnull, shard_expr(surt_col, n_shards)).otherwise(
+                F.lit(-1)
+            ),
+        ).withColumn(
+            "__h1",
+            F.when(notnull, h1_expr(surt_col)).otherwise(F.lit(0)),
+        )
 
         def probe_batch(pdf, packed_lookup):
             """Probe one Arrow batch grouped by shard — one vectorized

@@ -987,6 +987,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — decode one scan, then keep parsing
             if not comps:

@@ -361,3 +361,18 @@ def test_decode_verify_jpeg_rows(spark):
     stubbed = records.limit(6).withColumn("fmt", F.lit("webm"))
     flagged = decode_verify(stubbed, ref_seed=7).collect()
     assert flagged and all(not r.decode_ok for r in flagged)
+
+
+def test_jpeg_truncated_dri_raises_value_error():
+    """A DRI segment with declared length 2 (empty payload) is corrupt
+    but must keep the ValueError-only contract, not leak struct.error."""
+    import pytest as _pytest
+
+    from common_crawl___autumn_2025_spark import synthetic as syn
+    from common_crawl___autumn_2025_spark.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(syn.make_smooth_image(1, 16, 16)))
+    sos = data.find(b"\xff\xda")
+    corrupt = bytes(data[:sos]) + b"\xff\xdd\x00\x02" + bytes(data[sos:])
+    with _pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(corrupt)

@@ -557,3 +557,63 @@ def test_double_add_retry_semantics(spark):
                 assert not any(st["saturated"] for st in seen.sidecar_stats())
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def test_filter_unseen_null_surt_passes_through(spark):
+    """A NULL surt must flow through the probe as unseen (sentinel
+    shard, no NaN coercion crash) — the pre-vectorization behavior."""
+    root = tempfile.mkdtemp(prefix="seen_null_")
+    try:
+        seen = SeenSet(spark, root, n_shards=2, bits_per_shard=1 << 12)
+        df = spark.createDataFrame(
+            [("com,a)/",), ("com,b)/",)], "surt string"
+        )
+        seen.add(df, round_no=0)
+        probe = spark.createDataFrame(
+            [("com,a)/",), (None,), ("com,new)/",)], "surt string"
+        )
+        out = [r.surt for r in seen.filter_unseen(probe).collect()]
+        assert sorted(out, key=str) == [None, "com,new)/"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rollback_incompatible_sidecars_degrades_to_full_rebuild(spark):
+    """rollback over cuckoo sidecars written under a DIFFERENT
+    geometry must not run the incremental delete against them (wrong
+    fingerprint derivation could remove surviving keys): it falls
+    back to the full rebuild, regenerating sidecars under the current
+    spec with zero false negatives."""
+    root = tempfile.mkdtemp(prefix="seen_fmtroll_")
+    try:
+        writer = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 12,
+            filter_kind="cuckoo",
+        )
+        surts = [f"com,roll{i:03d})/" for i in range(120)]
+        writer.add(
+            spark.createDataFrame([(s,) for s in surts], "surt string"),
+            round_no=0,
+        )
+        writer.add(
+            spark.createDataFrame([("com,later)/x",)], "surt string"),
+            round_no=1,
+        )
+        # a resume under different geometry rolls back round 1
+        other = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 13,
+            filter_kind="cuckoo",
+        )
+        other.rollback(last_good_round=0)
+        probe = spark.createDataFrame(
+            [(s,) for s in surts]
+            + [("com,later)/x",), ("com,unseen)/y",)],
+            "surt string",
+        )
+        out = {r.surt for r in other.filter_unseen(probe).collect()}
+        # round-1 row rolled back -> unseen again; round-0 rows all
+        # still filtered (no false negatives despite the incompatible
+        # original sidecars)
+        assert out == {"com,later)/x", "com,unseen)/y"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
