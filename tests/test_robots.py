@@ -204,3 +204,33 @@ def test_schedule_with_built_table_matches(spark):
     for df in cleanup:
         df.unpersist()
     assert a == b and len(a) == 100  # /private row excluded in both
+
+
+def test_parse_robots_never_crashes_on_arbitrary_text():
+    """Foreign robots.txt bodies are arbitrary bytes-decoded text; the
+    parser must always return (list[str], float|None) and never
+    raise — hypothesis fuzz over structured-ish and raw junk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.one_of(
+        st.text(max_size=30),
+        st.builds(
+            lambda k, v: f"{k}: {v}",
+            st.sampled_from(
+                ["User-agent", "user-AGENT", "Disallow", "Allow",
+                 "Crawl-delay", "Sitemap", "junk", ":", ""]
+            ),
+            st.text(max_size=15),
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(line, max_size=20))
+    def run(lines):
+        dis, delay = parse_robots("\n".join(lines))
+        assert isinstance(dis, list)
+        assert all(isinstance(d, str) and d for d in dis)
+        assert delay is None or isinstance(delay, float)
+
+    run()
