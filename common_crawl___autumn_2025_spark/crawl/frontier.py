@@ -323,7 +323,14 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         partitions: int | None = None,
         fetcher=None,
+        cuckoo_compact_threshold: float | None = 0.95,
     ):
+        # cuckoo_compact_threshold: auto-compact cuckoo seen shards
+        # whose load factor exceeds this (or that saturated) at round
+        # commit boundaries — retry/speculation double-inserts inflate
+        # load invisibly otherwise (ADVICE r3). Execution policy, not
+        # crawl semantics, so deliberately OUTSIDE config_hash (like
+        # max_rounds); None disables. No-op under the Bloom filter.
         self.spark = spark
         self.spec = spec
         self.store = CheckpointStore(spark, checkpoint_root)
@@ -336,6 +343,7 @@ class CrawlEngine:
             filter_kind=spec.seen_filter,
         )
         self.partitions = partitions or spark.sparkContext.defaultParallelism
+        self.cuckoo_compact_threshold = cuckoo_compact_threshold
         self._matched_ids: set[int] = set()
         # the driver-held matched-id mirror is only trusted when run()
         # has seeded it (fresh run or small-table resume); otherwise
@@ -857,8 +865,30 @@ class CrawlEngine:
             # manifest metrics already carry the full per-round phase
             # timings INCLUDING commit (CheckpointStore.commit measures
             # and injects phase_sec["commit"] itself)
-            summary["rounds"].append({**manifest["metrics"], "round": round_no,
-                                      "snapshot_id": manifest["snapshot_id"]})
+            round_entry = {**manifest["metrics"], "round": round_no,
+                           "snapshot_id": manifest["snapshot_id"]}
+            if self.seen.filter_kind == "cuckoo":
+                # visibility + auto-compaction at the commit boundary
+                # (ADVICE r3): stats are O(sidecar bytes) driver reads
+                # — cheap at test scale, an explicit per-checkpoint
+                # cost the 4096-shard design point budgets for
+                stats = self.seen.sidecar_stats()
+                if stats:
+                    round_entry["seen_max_load"] = max(
+                        s["load_factor"] for s in stats
+                    )
+                    round_entry["seen_saturated_shards"] = sum(
+                        1 for s in stats if s["saturated"]
+                    )
+                    thr = self.cuckoo_compact_threshold
+                    if thr is not None and (
+                        round_entry["seen_saturated_shards"]
+                        or round_entry["seen_max_load"] > thr
+                    ):
+                        round_entry["seen_compacted_shards"] = len(
+                            self.seen.compact(thr)
+                        )
+            summary["rounds"].append(round_entry)
             frontier = self.store.read_table(round_no, "frontier")
             # committed-state re-read truncates lineage; matches is the
             # union of all committed deltas (bounded path list)

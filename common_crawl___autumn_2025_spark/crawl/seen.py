@@ -518,7 +518,15 @@ class SeenSet:
 
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
-            h1 = h1_from_int64(pdf["__h1"].to_numpy())
+            # dedupe per-shard keys by h1: a pathological exact table
+            # (task-retry double-appends, same surt re-added in two
+            # rounds) would otherwise rebuild the very duplicate
+            # inflation that compact() exists to remove. np.unique is
+            # vectorized — no extra shuffle. (Collapsing two DISTINCT
+            # surts requires a full 64-bit xxh64 collision, ~2^-64;
+            # same-fingerprint distinct-h1 keys still insert two
+            # copies, as they must for incremental deletes.)
+            h1 = np.unique(h1_from_int64(pdf["__h1"].to_numpy()))
             if kind == "bloom":
                 bitmap = np.zeros(bits, dtype=bool)
                 bitmap[bloom_positions_vec(h1, bits, k).ravel()] = True
@@ -667,6 +675,59 @@ class SeenSet:
                      "saturated": bool(arr[0])}
                 )
         return out
+
+    def compact(self, load_threshold: float = 0.95) -> list[int]:
+        """Rebuild over-loaded or saturated CUCKOO shards from the
+        exact table; returns the shard ids rebuilt.
+
+        Why this exists (ADVICE r3): cuckoo ``add`` is not idempotent
+        under task retries/speculation — duplicate inserts inflate a
+        shard's load factor permanently, and a shard pushed into
+        saturation answers *maybe* for every probe (correct but every
+        probe then pays the exact-confirm join). The exact table IS
+        idempotent (same parquet rows), so rebuilding a shard from it
+        sheds exactly the duplicate copies and clears a
+        duplicates-only saturation. A shard whose TRUE key count
+        exceeds capacity re-saturates in the rebuild — correct, and
+        the signal to re-shard.
+
+        Crash safety: same durable REBUILD_PENDING protocol as
+        ``rollback`` — the marker is published before any sidecar is
+        removed, and ``_complete_pending_rebuilds`` finishes the job
+        on the next add/rollback/probe if this process dies mid-way.
+
+        Cost: O(sidecar bytes) driver reads for the stats scan plus
+        one Spark job over the targeted shards' exact rows. Run it at
+        checkpoint boundaries (the engine auto-triggers past
+        ``cuckoo_compact_threshold``), not per batch."""
+        if self.filter_kind != "cuckoo":
+            return []
+        self._complete_pending_rebuilds()
+        targets = sorted(
+            s["shard"]
+            for s in self.sidecar_stats()
+            if s["saturated"] or s["load_factor"] > load_threshold
+        )
+        if not targets or not self._has_exact():
+            return []
+        import json
+
+        pf = self._pending_file()
+        tmp = pf + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(targets, fh)
+        os.replace(tmp, pf)
+        for shard in targets:
+            try:
+                os.remove(self._bloom_file(shard))
+            except FileNotFoundError:
+                pass
+        self._rebuild_sidecars(
+            self.exact_df().where(F.col("shard").isin(targets))
+        )
+        os.remove(pf)
+        self._bitmaps = None
+        return targets
 
     # -- probe -----------------------------------------------------------
 

@@ -617,3 +617,125 @@ def test_rollback_incompatible_sidecars_degrades_to_full_rebuild(spark):
         assert out == {"com,later)/x", "com,unseen)/y"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_compact_sheds_duplicate_inflation(spark):
+    """compact() rebuilds over-loaded cuckoo shards from the exact
+    table, shedding retry-duplicate fingerprint copies: load returns
+    to the true-key level and membership stays exact."""
+    surts = [f"com,cmp{i:03d})/" for i in range(150)]
+    root = tempfile.mkdtemp(prefix="seen_cmp_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 13,
+            filter_kind="cuckoo",
+        )
+        df = spark.createDataFrame([(s,) for s in surts], "surt string")
+        seen.add(df, round_no=0)
+        load1 = sorted(st["load_factor"] for st in seen.sidecar_stats())
+        seen.add(df, round_no=1)  # retry duplicates: load doubles
+        assert sorted(
+            st["load_factor"] for st in seen.sidecar_stats()
+        ) > load1
+
+        # below-threshold call is a no-op; an inflated shard exceeds
+        # the duplicate-free load so threshold=load1 targets both
+        assert seen.compact(load_threshold=0.99) == []
+        compacted = seen.compact(load_threshold=max(load1))
+        assert compacted == [0, 1]
+        # load is back to the true-key level (same key count per
+        # shard, occupancy independent of insert order)
+        assert sorted(
+            st["load_factor"] for st in seen.sidecar_stats()
+        ) == load1
+        probe = spark.createDataFrame(
+            [(s,) for s in surts] + [("com,freshc)/x",)], "surt string"
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {"com,freshc)/x"}  # zero false negatives
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cuckoo_compact_clears_duplicate_saturation(spark):
+    """A shard pushed into saturation purely by duplicate inserts
+    (true keys fit comfortably) is un-saturated by compact() and
+    probes exactly afterward."""
+    surts = [f"com,sat{i:03d})/" for i in range(40)]
+    root = tempfile.mkdtemp(prefix="seen_csat_")
+    try:
+        # 2 shards x 8 buckets x 4 slots = 32 slots/shard; ~20 true
+        # keys/shard fit, but 6x duplicates force saturation
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=256,
+            filter_kind="cuckoo",
+        )
+        df = spark.createDataFrame([(s,) for s in surts], "surt string")
+        for rnd in range(6):
+            seen.add(df, round_no=rnd)
+        assert any(st["saturated"] for st in seen.sidecar_stats())
+
+        compacted = seen.compact()
+        assert compacted  # saturated shards targeted regardless of load
+        stats = seen.sidecar_stats()
+        assert not any(st["saturated"] for st in stats)
+        assert all(st["load_factor"] <= 0.75 for st in stats)
+        seen._bitmaps = None
+        probe = spark.createDataFrame(
+            [(s,) for s in surts] + [("com,freshs)/y",)], "surt string"
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {"com,freshs)/y"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_noop_on_bloom(spark):
+    root = tempfile.mkdtemp(prefix="seen_cbl_")
+    try:
+        seen = SeenSet(spark, root, n_shards=2, bits_per_shard=1 << 12)
+        seen.add(
+            spark.createDataFrame([("a)/",), ("b)/",)], "surt string"), 0
+        )
+        assert seen.compact(load_threshold=0.0) == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_auto_compaction_preserves_crawl(spark, small_spec):
+    """The engine's commit-boundary auto-compaction (threshold forced
+    to ~0 so every round compacts) changes NOTHING about the crawl:
+    fetch log and seen set equal the no-compaction run, and the round
+    metrics expose load/saturation/compaction counts."""
+    import dataclasses
+
+    spec = dataclasses.replace(small_spec, seen_filter="cuckoo")
+    seeds = syn.seed_urls(spec.web, 10)
+
+    def run(threshold):
+        root = tempfile.mkdtemp(prefix="ck_autocmp_")
+        try:
+            eng = CrawlEngine(
+                spark, spec, root, partitions=4,
+                cuckoo_compact_threshold=threshold,
+            )
+            summary = eng.run(seeds)
+            log = sorted(
+                (r.round, r.host, r.seq, r.surt, r.status)
+                for rr in range(eng.store.latest_round() + 1)
+                for r in eng.store.read_table(rr, "fetch_log").collect()
+            )
+            seen = {r.surt for r in eng.seen.exact_df().collect()}
+            return summary, log, seen
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    s_off, log_off, seen_off = run(None)
+    s_on, log_on, seen_on = run(1e-9)
+    assert log_on == log_off
+    assert seen_on == seen_off
+    for entry in s_on["rounds"]:
+        assert 0.0 < entry["seen_max_load"] < 1.0
+        assert entry["seen_saturated_shards"] == 0
+        assert entry["seen_compacted_shards"] >= 1
+    assert all("seen_compacted_shards" not in e for e in s_off["rounds"])
