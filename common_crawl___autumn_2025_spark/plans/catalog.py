@@ -6,6 +6,7 @@ from . import QUERIES, ORACLE_SQL  # noqa: F401
 from . import crawl_catalog  # noqa: F401
 from . import extras  # noqa: F401
 from . import functions_catalog  # noqa: F401
+from . import graph  # noqa: F401
 from . import html_nested  # noqa: F401
 from . import matching_pipeline  # noqa: F401
 from . import relational  # noqa: F401
