@@ -257,6 +257,12 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # LAZY localCheckpoint: the convergence agg below is the
+        # action that materializes it, so each iteration costs ONE
+        # Spark job instead of two (eager checkpoint + agg) — at
+        # O(diameter) iterations the fixed per-job latency is the
+        # dominant cost of this loop, not the tiny shuffles (AQE
+        # coalesces those to a handful of tasks)
         labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
@@ -266,7 +272,7 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_total = labels.agg(F.sum("component")).collect()[0][0]
         if new_total == total:
@@ -365,8 +371,13 @@ def dup_components_star(pairs: DataFrame, max_iters: int = 40) -> DataFrame:
 
     sig = checksum(edges)
     for _ in range(max_iters):
-        edges = large_star(edges).localCheckpoint(eager=True)
-        edges = small_star(edges).localCheckpoint(eager=True)
+        # LAZY checkpoints: the checksum action materializes both
+        # (large-star then small-star) inside ONE job per iteration
+        # instead of three — per-job latency dominates this loop's
+        # cost once AQE has coalesced the tiny shuffles. Lineage
+        # still truncates at each checkpoint once materialized.
+        edges = large_star(edges).localCheckpoint(eager=False)
+        edges = small_star(edges).localCheckpoint(eager=False)
         new_sig = checksum(edges)
         if new_sig == sig:
             break
@@ -433,48 +444,80 @@ def d06_dup_components_star(spark, sf_dir):
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>): MinHash over 3-gram shingles.
 
-    One Arrow-vectorized pass, zero shuffles: each shingle hashes
-    once (blake2b64), then the n-hash family is the classic universal
-    family (a_i·h + b_i) mod (2^61-1) as a numpy matrix op. This
-    replaced an explode + n min()-aggregates JVM plan that cost a
-    shuffle plus 32 aggregate expressions per shingle (~2x slower at
-    sf0.1 and worse with n_hashes)."""
-    import hashlib
-
+    Base hashes are JVM-side (``transform(arr, xxhash64)`` — one
+    Catalyst expression per shingle, no Python string hashing; the
+    earlier per-shingle ``hashlib.blake2b`` loop was the d03 hot
+    spot, ~10M interpreter calls at sf0.1). The Python stage then
+    only runs the n-hash universal family (a_i·h + b_i) mod p as a
+    SEGMENTED numpy op over the whole Arrow batch: one
+    ``minimum.reduceat`` per ~200k-shingle chunk, per-doc Python
+    limited to an asarray + tolist. This in turn replaced an explode
+    + n min()-aggregates JVM plan that cost a shuffle plus 32
+    aggregate expressions per shingle (~2x slower at sf0.1 and worse
+    with n_hashes)."""
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    with_arr = _with_shingle_arr(docs).select("doc_id", "arr")
+    with_arr = _with_shingle_arr(docs).select(
+        "doc_id", F.transform("arr", lambda s: F.xxhash64(s)).alias("harr")
+    )
     # universal family (a·h + b) mod p over 31-bit base hashes with
     # p = 2^31-1: products < 2^62 fit uint64 AND wrap p many times, so
     # the result is uniform mod p. (A larger p against the same
     # product range is NOT uniform — the min then just tracks the
     # smallest base hash and signatures degenerate; caught by the
-    # planted-duplicate tests.)
+    # planted-duplicate tests.) Base hash = low 31 bits of xxhash64.
     mod = np.uint64((1 << 31) - 1)
+    mask31 = np.uint64(0x7FFFFFFF)
     g = np.random.Generator(np.random.PCG64(0xC0FFEE))
     a = g.integers(1, int(mod), size=n_hashes, dtype=np.uint64)
     b = g.integers(0, int(mod), size=n_hashes, dtype=np.uint64)
+    # bound the (n_hashes x chunk_shingles) work matrix to ~50 MB
+    chunk_shingles = 200_000
 
     def sign(batches):
         for pdf in batches:
-            out = []
-            for doc_id, arr in zip(pdf["doc_id"], pdf["arr"]):
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=4).digest(),
-                            "big",
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                continue
+            arrs = [
+                np.asarray(x, dtype=np.int64)
+                if x is not None
+                else np.empty(0, dtype=np.int64)
+                for x in pdf["harr"]
+            ]
+            sigs: list = [None] * n
+            # a shingle-less doc (under 3 tokens) gets the empty-set
+            # signature (all-p sentinel, matching min-over-nothing)
+            empty_sig = np.full(n_hashes, np.int64(mod)).tolist()
+            start = 0
+            while start < n:
+                end, total = start, 0
+                while end < n and (
+                    total == 0 or total + len(arrs[end]) <= chunk_shingles
+                ):
+                    total += len(arrs[end])
+                    end += 1
+                idx = [i for i in range(start, end) if len(arrs[i])]
+                if idx:
+                    cat = (
+                        np.concatenate([arrs[i] for i in idx]).astype(
+                            np.uint64
                         )
-                        & 0x7FFFFFFF
-                        for s in arr
-                    ),
-                    dtype=np.uint64,
-                    count=len(arr),
-                )
-                sig = ((a[:, None] * hs[None, :] + b[:, None]) % mod).min(axis=1)
-                out.append({"doc_id": doc_id, "sig": sig.astype(np.int64).tolist()})
-            yield pd.DataFrame(out)
+                        & mask31
+                    )
+                    vals = (a[:, None] * cat[None, :] + b[:, None]) % mod
+                    lens = np.array([len(arrs[i]) for i in idx])
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    mins = np.minimum.reduceat(vals, starts, axis=1)
+                    for j, i in enumerate(idx):
+                        sigs[i] = mins[:, j].astype(np.int64).tolist()
+                for i in range(start, end):
+                    if sigs[i] is None:
+                        sigs[i] = empty_sig
+                start = end
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return with_arr.mapInPandas(sign, schema="doc_id long, sig array<long>")
 
