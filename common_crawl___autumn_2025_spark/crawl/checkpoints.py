@@ -208,23 +208,143 @@ class CheckpointStore:
             return json.load(f)
 
     def read_table(self, round_no: int, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._round_dir(round_no), name))
+        return self.spark.read.parquet(self._table_dir(round_no, name))
+
+    def _table_dir(self, round_no: int, name: str) -> str:
+        """Physical directory of a table — resolved through the
+        manifest's ``path`` pointer when present (Iceberg semantics:
+        metadata points at data; compaction swaps the pointer, never
+        mutates a directory in place)."""
+        m = self.read_manifest(round_no)
+        rel = m["tables"].get(name, {}).get("path", name)
+        return os.path.join(self._round_dir(round_no), rel)
 
     def delta_table_paths(self, name: str, upto: int | None = None) -> list[str]:
         """Directories of a per-round-delta table for all committed
         rounds <= ``upto`` (default: all). The matches table is stored
         this way: cumulative state = one multi-path parquet scan over
-        the deltas (compact the chain offline if a crawl accumulates
-        thousands of rounds)."""
+        the deltas; ``expire_snapshots`` compacts the chain's head
+        into a BASE table (manifest key ``base_tables``), after which
+        the scan starts at the base — rounds below it are excluded
+        even if their directories still linger (crash between the
+        manifest publish and the cleanup deletes must never
+        double-count)."""
         rounds = self._committed_rounds()
         if upto is not None:
+            if rounds and upto < rounds[0]:
+                raise ValueError(
+                    f"round {upto} was expired (oldest retained snapshot "
+                    f"is {rounds[0]}) — no time travel below an expired "
+                    "snapshot"
+                )
             rounds = [r for r in rounds if r <= upto]
+        manifests = {r: self.read_manifest(r) for r in rounds}
+        for i in reversed(range(len(rounds))):
+            if name in manifests[rounds[i]].get("base_tables", []):
+                rounds = rounds[i:]
+                break
         out = []
         for r in rounds:
-            path = os.path.join(self._round_dir(r), name)
+            rel = manifests[r]["tables"].get(name, {}).get("path", name)
+            path = os.path.join(self._round_dir(r), rel)
             if os.path.isdir(path):
                 out.append(path)
         return out
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Iceberg-style snapshot expiry: drop all but the newest
+        ``keep_last`` committed rounds, first compacting the expiring
+        rounds' per-round ``matches`` deltas (plus any earlier base)
+        into a BASE table at the oldest retained round so cumulative
+        reads stay exact. Bounds checkpoint storage on long crawls —
+        thousands of rounds otherwise accumulate thousands of
+        frontier/fetch_log copies and a thousands-path matches scan.
+
+        Crash-safe by ordering (each step leaves a consistent store):
+
+        1. the compacted table is written to a fresh versioned
+           directory under the retained round (stray on crash —
+           invisible, the manifest still points at the old path);
+        2. the retained round's manifest is atomically replaced: the
+           ``matches`` pointer swaps to the compacted directory, the
+           round joins ``base_tables``, and ``parent_round`` becomes
+           None (the lineage now ends here). From this instant,
+           ``delta_table_paths`` excludes everything below the base,
+           so still-undeleted expired directories can never be
+           double-counted;
+        3. expired round directories and the superseded matches
+           directory are deleted (pure cleanup; a crash re-runs it on
+           the next expiry).
+
+        Expired rounds are gone for time travel (that is what expiry
+        means); reads at or above the base are unchanged. The
+        retained manifest keeps its original ``snapshot_id`` — the
+        snapshot's logical content is untouched, compaction is
+        physical. The live SEEN state is not touched (it is
+        membership state, not history). Returns a summary dict.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        rounds = self._committed_rounds()
+        if len(rounds) <= keep_last:
+            return {"expired": [], "retained": rounds}
+        retained, expired = rounds[-keep_last:], rounds[:-keep_last]
+        base = retained[0]
+        base_dir = self._round_dir(base)
+
+        # 1. compacted matches = every delta (and prior base) <= base.
+        # The directory name carries a GENERATION counter: a repeat
+        # expiry at the same base (e.g. finishing a crashed cleanup)
+        # writes a fresh directory and swaps the manifest pointer —
+        # never renames onto (or deletes) the directory the live
+        # manifest still points at.
+        src_paths = self.delta_table_paths("matches", upto=base)
+        m_prev = self.read_manifest(base)
+        gen = len(m_prev.get("expired_parents", [])) + len(expired)
+        while os.path.exists(
+            os.path.join(base_dir, f"matches.base-upto{base}-g{gen}")
+        ):
+            gen += 1  # skip live/orphaned generations from crashed runs
+        compact_rel = f"matches.base-upto{base}-g{gen}"
+        compact_tmp = os.path.join(base_dir, "_tmp." + compact_rel)
+        if os.path.exists(compact_tmp):
+            shutil.rmtree(compact_tmp)
+        m = self.read_manifest(base)
+        old_rel = m["tables"].get("matches", {}).get("path", "matches")
+        if src_paths:
+            self.spark.read.parquet(*src_paths).coalesce(
+                max(1, len(src_paths) // 8)
+            ).write.mode("overwrite").parquet(compact_tmp)
+            os.rename(compact_tmp, os.path.join(base_dir, compact_rel))
+            parts = _dir_metrics(os.path.join(base_dir, compact_rel))
+            m["tables"]["matches"] = {
+                "rows": sum(p["rows"] for p in parts),
+                "partitions": parts,
+                "path": compact_rel,
+            }
+
+        # 2. atomic manifest publish — the commit point of the expiry
+        m["base_tables"] = sorted(set(m.get("base_tables", [])) | {"matches"})
+        m["parent_round"] = None
+        m["expired_parents"] = sorted(
+            set(m.get("expired_parents", [])) | set(expired)
+        )
+        mf = os.path.join(base_dir, "manifest.json")
+        tmp = mf + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, mf)
+
+        # 3. cleanup (safe to repeat / lose to a crash)
+        for r in expired:
+            shutil.rmtree(self._round_dir(r), ignore_errors=True)
+        if src_paths and old_rel != compact_rel:
+            shutil.rmtree(os.path.join(base_dir, old_rel), ignore_errors=True)
+        return {
+            "expired": expired,
+            "retained": retained,
+            "matches_rows": m["tables"].get("matches", {}).get("rows", 0),
+        }
 
     def lineage(self, round_no: int | None = None) -> list[dict]:
         """Manifest chain from the given (default latest) round back to 0.

@@ -152,3 +152,49 @@ def c05_robots_table_live(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+@register("c06_snapshot_expiry")  # rows-only: retention maintenance
+def c06_snapshot_expiry(spark, sf_dir):
+    """Iceberg-style snapshot expiry driven end to end: crawl three
+    rounds, expire all but the newest (per-round matches deltas
+    compact into a manifest-pointed base table at the retained
+    round), and prove cumulative matches survived the compaction
+    exactly. One row per retained-phase check, all scalar:
+    (phase, rounds_on_disk, matches_rows, cum_equal)."""
+    spec = CrawlSpec(
+        web=syn.WebConfig(n_hosts=12), max_depth=2, max_rounds=3
+    )
+    seeds = syn.seed_urls(spec.web, 10)
+    root = tempfile.mkdtemp(prefix="cat_expire_")
+    eng = CrawlEngine(spark, spec, root, partitions=8)
+    eng.run(seeds)
+    before = sorted(
+        (r.seed_id, r.surt, r.round)
+        for r in eng.read_matches_cum().collect()
+    )
+    n_before = len(eng.store._committed_rounds())
+    out = eng.store.expire_snapshots(keep_last=1)
+    after = sorted(
+        (r.seed_id, r.surt, r.round)
+        for r in eng.read_matches_cum().collect()
+    )
+    rows = [
+        ("pre_expiry", n_before, len(before), True),
+        (
+            "post_expiry",
+            len(eng.store._committed_rounds()),
+            len(after),
+            after == before,
+        ),
+        (
+            "expired",
+            len(out["expired"]),
+            out["matches_rows"],
+            len(eng.store.lineage()) == 1,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, n_rounds int, matches_rows int, check boolean",
+    ).orderBy("phase")
