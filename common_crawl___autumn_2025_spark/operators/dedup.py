@@ -129,8 +129,19 @@ def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> Data
     # then needs no extra size joins.
     # localCheckpoint: the self-join would otherwise recompute the
     # shingle explode for both sides (measured 5x wall time at sf0.1)
+    # join/aggregate on xxhash64(shingle), not the shingle string:
+    # every downstream exchange (DF cap, self-join) then moves an
+    # 8-byte long instead of a ~25-byte string and compares ints.
+    # A 64-bit collision merging two distinct shingles is ~1e-8 at
+    # 10^5-10^6 distinct shingles — far below the cap approximation
+    # this operator already documents (the DuckDB oracle joins on
+    # the strings themselves and still matches exactly).
     sh = _with_shingle_arr(docs).select(
-        "doc_id", "sz", F.explode("arr").alias("shingle")
+        "doc_id",
+        "sz",
+        F.explode(
+            F.transform("arr", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     ).localCheckpoint(eager=True)
     # document-frequency cap: drop hot shingles before the self-join.
     # The DF aggregate and the semi-join share the shingle key with
