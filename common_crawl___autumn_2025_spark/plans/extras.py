@@ -107,3 +107,74 @@ def u09_surt_canonicalize(spark, sf_dir):
             F.concat(F.lit("www."), F.col("source"), F.lit(".example.co.uk"))
         ).alias("reg_domain"),
     )
+
+
+@register(
+    "a17_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a17_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (disjoint single-key groupings in one
+    pass) — the multi-dimensional-report shape ROLLUP (a14) cannot
+    express. Spark spells it via SQL on a temp view; one aggregate,
+    map-side partial."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__a17_orders"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM __a17_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "w06_event_gap",
+    """
+    SELECT event_id, user_id,
+           round(
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE)
+             / 1000000.0, 3) AS gap_s,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def w06_event_gap(spark, sf_dir):
+    """lag/lead session analysis: per-user inter-event gap seconds
+    and next event type — the sessionization primitive (crawl analog:
+    per-host inter-fetch gap audit, the politeness invariant). One
+    window, both functions share the frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                )
+                / 1e6,
+                3,
+            ).alias("gap_s"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+    )

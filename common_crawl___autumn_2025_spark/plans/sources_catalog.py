@@ -206,3 +206,45 @@ def o05_seeded_sample(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+@register("s14_warc_roundtrip")  # rows-only: no DuckDB WARC reader
+def s14_warc_roundtrip(spark, sf_dir):
+    """WARC sink + source (sources/warc.py): archive the canonical
+    image+caption record table as Common-Crawl-layout member-gzip
+    WARC/1.0 resource records (one task per partition, payload bytes
+    never on the driver), read it back per-file, and verify the
+    round trip field by field. Scalar verification columns per
+    format group; the byte-exact equality itself is pytest-pinned
+    (tests/test_warc.py)."""
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+    from .. import synthetic as syn
+
+    root = tempfile.mkdtemp(prefix="cat_warc_")
+    recs = syn.records_df(spark, 120, partitions=8).localCheckpoint(
+        eager=True
+    )
+    n_written = write_warc(recs, root)
+    back = read_warc(spark, root)
+    joined = recs.alias("a").join(
+        back.alias("b"), on=["image_id"], how="inner"
+    )
+    return (
+        joined.groupBy(F.col("a.fmt").alias("fmt"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(
+                (
+                    (F.col("a.bytes") == F.col("b.bytes"))
+                    & (F.col("a.caption") == F.col("b.caption"))
+                    & (F.col("a.phash") == F.col("b.phash"))
+                    & (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.h") == F.col("b.h"))
+                ).cast("long")
+            ).alias("n_exact"),
+            F.lit(n_written).alias("n_written"),
+        )
+        .orderBy("fmt")
+    )

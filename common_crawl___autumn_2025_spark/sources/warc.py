@@ -1,0 +1,223 @@
+"""WARC source/sink — the crawl-native archive format.
+
+Common Crawl publishes its corpus as WARC/1.0 files (ISO 28500);
+the reference consumes that corpus indirectly (its course scaffold
+is literally a Common Crawl practical) but reads/writes only CSV.
+An engine that crawls image+caption records should speak the
+archive format those records ship in, so:
+
+- ``write_warc(records, path)`` archives the canonical record table
+  (``image_id bytes w h fmt caption phash``) as WARC *resource*
+  records — one gzip member per record, which is exactly Common
+  Crawl's layout (member-gzip keeps records independently
+  decompressable, so a reader can split within a file by scanning
+  member boundaries). Record metadata rides in named WARC headers;
+  engine-specific fields use the ``WARC-X-`` extension prefix the
+  spec reserves for custom fields.
+- ``read_warc(spark, path)`` reads a directory of ``.warc.gz``
+  files back into the same schema via ``binaryFile`` + an Arrow
+  parse pass.
+
+Determinism: ``WARC-Record-ID`` derives from blake2b(image_id) and
+``WARC-Date`` is a fixed epoch unless supplied — archives are
+byte-stable across runs (the round-trip and resplit tests depend on
+it; a live crawl passes real timestamps).
+
+Scale shape: the writer is one task per partition writing one
+archive file (tmp + rename publish, the sidecar protocol); the
+reader parallelizes per FILE — Common Crawl's own granularity
+(~1 GB/file, one task each on the real corpus; this is how every
+published Spark-over-CC job partitions, e.g. the cc-pyspark
+examples). Payload bytes never visit the driver in either
+direction.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+RECORD_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+_EPOCH = "2025-01-01T00:00:00Z"
+
+_CONTENT_TYPES = {
+    "png": "image/png",
+    "jpeg": "image/jpeg",
+    "jpg": "image/jpeg",
+    "ppm": "image/x-portable-pixmap",
+}
+
+
+def record_id_for(image_id: str) -> str:
+    """Deterministic urn:uuid from the image id (RFC 4122 shape,
+    version/variant bits patched into a blake2b digest)."""
+    d = bytearray(hashlib.blake2b(image_id.encode(), digest_size=16).digest())
+    d[6] = (d[6] & 0x0F) | 0x40  # version 4
+    d[8] = (d[8] & 0x3F) | 0x80  # RFC 4122 variant
+    h = d.hex()
+    return (
+        f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    )
+
+
+def _render_record(row, date: str) -> bytes:
+    payload = bytes(row.bytes) if row.bytes is not None else b""
+    fmt = (row.fmt or "").lower()
+    headers = [
+        ("WARC-Type", "resource"),
+        ("WARC-Record-ID", f"<{record_id_for(row.image_id)}>"),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", f"urn:image:{row.image_id}"),
+        ("Content-Type", _CONTENT_TYPES.get(fmt, "application/octet-stream")),
+        ("Content-Length", str(len(payload))),
+        ("WARC-X-Image-Format", row.fmt or ""),
+        ("WARC-X-Width", str(row.w if row.w is not None else "")),
+        ("WARC-X-Height", str(row.h if row.h is not None else "")),
+        ("WARC-X-Phash", str(row.phash if row.phash is not None else "")),
+        # caption is arbitrary text: header values must be one line,
+        # so it travels percent-encoded (latin-1-safe, reversible)
+        ("WARC-X-Caption", _encode_header(row.caption)),
+    ]
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _encode_header(value) -> str:
+    if value is None:
+        return ""
+    from urllib.parse import quote
+
+    return quote(value, safe="")
+
+
+def _decode_header(value: str):
+    from urllib.parse import unquote
+
+    return unquote(value)
+
+
+def write_warc(
+    records: DataFrame,
+    path: str,
+    date: str = _EPOCH,
+    prefix: str = "part",
+) -> int:
+    """Archive the record table under ``path`` as one member-gzip
+    ``.warc.gz`` file per partition; returns the file count. Writes
+    follow the sidecar protocol (task-side tmp + rename, driver sees
+    only small ack rows)."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        first = None
+        buf: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if first is None:
+                    first = row.image_id
+                buf.append(gzip.compress(_render_record(row, date), 6))
+                n += 1
+        if first is not None:
+            # partition file name derives from its first record id —
+            # deterministic under a deterministic partitioning, and
+            # collision-free (a record is in exactly one partition)
+            slug = hashlib.blake2b(first.encode(), digest_size=8).hexdigest()
+            f = os.path.join(path, f"{prefix}-{slug}.warc.gz")
+            tmp = f + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(b"".join(buf))
+            os.replace(tmp, f)
+        yield pd.DataFrame({"n": [n]})
+
+    acks = records.mapInPandas(dump, schema="n long").collect()
+    return sum(r.n for r in acks if r.n)
+
+
+def parse_warc_member(blob: bytes) -> list[dict]:
+    """Parse every WARC record in a (decompressed) buffer back into
+    record-table rows. Tolerates concatenated records; raises
+    ValueError on a malformed header block or truncated payload."""
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record CRLF padding
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        end = blob.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("truncated WARC header block")
+        head = blob[pos:end].decode("latin-1", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}")
+        hdr = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdr.get("content-length", ""))
+        except ValueError as e:
+            raise ValueError("missing/invalid Content-Length") from e
+        payload = blob[end + 4 : end + 4 + clen]
+        if len(payload) != clen:
+            raise ValueError("truncated WARC payload")
+        pos = end + 4 + clen
+
+        def _int(key):
+            v = hdr.get(key, "")
+            return int(v) if v not in ("", None) else None
+
+        uri = hdr.get("warc-target-uri", "")
+        out.append(
+            {
+                "image_id": uri.split("urn:image:", 1)[-1],
+                "bytes": payload if payload else None,
+                "w": _int("warc-x-width"),
+                "h": _int("warc-x-height"),
+                "fmt": hdr.get("warc-x-image-format") or None,
+                "caption": _decode_header(hdr.get("warc-x-caption", "")),
+                "phash": _int("warc-x-phash"),
+            }
+        )
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Record table from a directory of ``.warc.gz`` (or plain
+    ``.warc``) files. One task per archive file — Common Crawl's own
+    parallelism granularity; ``gzip.decompress`` handles the
+    member-gzip concatenation transparently."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.warc*")
+    ).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if p.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                rows.extend(parse_warc_member(data))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+                ],
+            )
+
+    return files.mapInPandas(parse, schema=RECORD_SCHEMA)

@@ -1,0 +1,129 @@
+"""WARC source/sink: byte-exact round trip, format validity,
+corruption contract, determinism."""
+
+import glob
+import gzip
+import shutil
+import tempfile
+
+import pytest
+
+from common_crawl___autumn_2025_spark import synthetic as syn
+from common_crawl___autumn_2025_spark.sources.warc import (
+    parse_warc_member,
+    read_warc,
+    record_id_for,
+    write_warc,
+)
+
+
+def _collect(df):
+    return sorted(
+        (
+            r.image_id,
+            bytes(r.bytes) if r.bytes is not None else None,
+            r.w, r.h, r.fmt, r.caption, r.phash,
+        )
+        for r in df.collect()
+    )
+
+
+def test_warc_roundtrip_byte_exact(spark):
+    recs = syn.records_df(spark, 60, partitions=4)
+    want = _collect(recs)
+    root = tempfile.mkdtemp(prefix="warc_")
+    try:
+        n = write_warc(recs, root)
+        assert n == 60
+        files = glob.glob(root + "/*.warc.gz")
+        assert 1 < len(files) <= 4  # one per non-empty partition
+        got = _collect(read_warc(spark, root))
+        assert got == want  # payload bytes, caption, every header field
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_format_is_standard(spark):
+    """The archive must be real WARC/1.0 member-gzip: each member
+    decompresses independently, records carry the mandatory headers,
+    and Content-Length frames the payload exactly."""
+    recs = syn.records_df(spark, 10, partitions=1)
+    root = tempfile.mkdtemp(prefix="warc_fmt_")
+    try:
+        write_warc(recs, root)
+        [f] = glob.glob(root + "/*.warc.gz")
+        blob = gzip.decompress(open(f, "rb").read())
+        assert blob.startswith(b"WARC/1.0\r\n")
+        rows = parse_warc_member(blob)
+        assert len(rows) == 10
+        # member-gzip: a SINGLE member (the first record) also parses
+        raw = open(f, "rb").read()
+        one = gzip.GzipFile(fileobj=__import__("io").BytesIO(raw)).read()
+        assert parse_warc_member(one)  # concatenation handled
+        head = blob.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+        for required in (
+            "WARC-Type: resource",
+            "WARC-Record-ID: <urn:uuid:",
+            "WARC-Date: ",
+            "Content-Length: ",
+        ):
+            assert required in head
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_deterministic_and_distinct_ids(spark):
+    recs = syn.records_df(spark, 20, partitions=2)
+    r1 = tempfile.mkdtemp(prefix="warc_d1_")
+    r2 = tempfile.mkdtemp(prefix="warc_d2_")
+    try:
+        write_warc(recs, r1)
+        write_warc(recs, r2)
+        f1 = {p.split("/")[-1] for p in glob.glob(r1 + "/*.warc.gz")}
+        f2 = {p.split("/")[-1] for p in glob.glob(r2 + "/*.warc.gz")}
+        assert f1 == f2  # same partitioning -> same file names
+        by_name1 = {p.split("/")[-1]: open(p, "rb").read()
+                    for p in glob.glob(r1 + "/*.warc.gz")}
+        by_name2 = {p.split("/")[-1]: open(p, "rb").read()
+                    for p in glob.glob(r2 + "/*.warc.gz")}
+        assert by_name1 == by_name2  # byte-identical archives
+        ids = [record_id_for(f"img{i}") for i in range(1000)]
+        assert len(set(ids)) == 1000
+        assert all(i.startswith("urn:uuid:") and len(i) == 45 for i in ids)
+    finally:
+        shutil.rmtree(r1, ignore_errors=True)
+        shutil.rmtree(r2, ignore_errors=True)
+
+
+def test_warc_caption_header_safe_roundtrip(spark):
+    """Captions with CRLFs / colons / non-latin text survive the
+    one-line header encoding."""
+    nasty = "a: b\r\nWARC-Type: evil\r\n\r\npayload — ünïcode 画像"
+    df = spark.createDataFrame(
+        [("x1", bytearray(b"\x00\x01"), 2, 1, "png", nasty, 7)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    root = tempfile.mkdtemp(prefix="warc_nasty_")
+    try:
+        write_warc(df, root)
+        [r] = read_warc(spark, root).collect()
+        assert r.caption == nasty
+        assert bytes(r.bytes) == b"\x00\x01"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_corruption_raises_value_error():
+    with pytest.raises(ValueError, match="not a WARC record"):
+        parse_warc_member(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        parse_warc_member(b"WARC/1.0\r\nWARC-Type: resource")
+    good = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 10\r\n"
+        b"\r\nshort\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        parse_warc_member(good)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_member(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n")
