@@ -68,6 +68,16 @@ def record_id_for(image_id: str) -> str:
     )
 
 
+def payload_digest(payload: bytes) -> str:
+    """Standard WARC payload digest: ``sha1:<base32>`` (the labelled
+    form CDX indexes and dedup tooling expect)."""
+    import base64
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()
+    ).decode("ascii")
+
+
 def _render_record(row, date: str) -> bytes:
     payload = bytes(row.bytes) if row.bytes is not None else b""
     fmt = (row.fmt or "").lower()
@@ -76,6 +86,7 @@ def _render_record(row, date: str) -> bytes:
         ("WARC-Record-ID", f"<{record_id_for(row.image_id)}>"),
         ("WARC-Date", date),
         ("WARC-Target-URI", f"urn:image:{row.image_id}"),
+        ("WARC-Payload-Digest", payload_digest(payload)),
         ("Content-Type", _CONTENT_TYPES.get(fmt, "application/octet-stream")),
         ("Content-Length", str(len(payload))),
         ("WARC-X-Image-Format", row.fmt or ""),
@@ -106,42 +117,115 @@ def _decode_header(value: str):
     return unquote(value)
 
 
+CDX_SCHEMA = (
+    "image_id string, file string, offset long, length long, "
+    "digest string"
+)
+
+
 def write_warc(
     records: DataFrame,
     path: str,
     date: str = _EPOCH,
     prefix: str = "part",
+    cdx: bool = False,
 ) -> int:
     """Archive the record table under ``path`` as one member-gzip
-    ``.warc.gz`` file per partition; returns the file count. Writes
+    ``.warc.gz`` file per partition; returns the record count. Writes
     follow the sidecar protocol (task-side tmp + rename, driver sees
-    only small ack rows)."""
+    only small ack rows).
+
+    ``cdx=True`` additionally writes a CDX-style index under
+    ``<path>/cdx/`` (parquet, ``CDX_SCHEMA``): per record, its
+    archive file, the byte offset and compressed length of its gzip
+    member, and the standard sha1:<b32> payload digest — the Common
+    Crawl companion index that makes an archive randomly accessible
+    (``read_warc_record`` seeks straight to one record; a 1 GB file
+    never needs a full scan for a point lookup). Index rows are
+    written task-side next to the archive member they describe."""
     os.makedirs(path, exist_ok=True)
+    if cdx:
+        os.makedirs(os.path.join(path, "cdx"), exist_ok=True)
 
     def dump(batches):
         first = None
         buf: list[bytes] = []
+        idx: list[dict] = []
         n = 0
+        offset = 0
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 if first is None:
                     first = row.image_id
-                buf.append(gzip.compress(_render_record(row, date), 6))
+                # mtime=0 keeps the gzip header free of wall-clock
+                # time — archives must be byte-stable across runs
+                member = gzip.compress(
+                    _render_record(row, date), 6, mtime=0
+                )
+                buf.append(member)
+                if cdx:
+                    idx.append(
+                        {
+                            "image_id": row.image_id,
+                            "offset": offset,
+                            "length": len(member),
+                            "digest": payload_digest(
+                                bytes(row.bytes)
+                                if row.bytes is not None
+                                else b""
+                            ),
+                        }
+                    )
+                offset += len(member)
                 n += 1
         if first is not None:
             # partition file name derives from its first record id —
             # deterministic under a deterministic partitioning, and
             # collision-free (a record is in exactly one partition)
             slug = hashlib.blake2b(first.encode(), digest_size=8).hexdigest()
-            f = os.path.join(path, f"{prefix}-{slug}.warc.gz")
+            fname = f"{prefix}-{slug}.warc.gz"
+            f = os.path.join(path, fname)
             tmp = f + f".tmp.{os.getpid()}"
             with open(tmp, "wb") as fh:
                 fh.write(b"".join(buf))
             os.replace(tmp, f)
+            if cdx:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                for r in idx:
+                    r["file"] = fname
+                tbl = pa.Table.from_pylist(
+                    [
+                        {k: r[k] for k in
+                         ("image_id", "file", "offset", "length", "digest")}
+                        for r in idx
+                    ]
+                )
+                cf = os.path.join(path, "cdx", f"{prefix}-{slug}.parquet")
+                ctmp = cf + f".tmp.{os.getpid()}"
+                pq.write_table(tbl, ctmp)
+                os.replace(ctmp, cf)
         yield pd.DataFrame({"n": [n]})
 
     acks = records.mapInPandas(dump, schema="n long").collect()
     return sum(r.n for r in acks if r.n)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """The CDX index table written by ``write_warc(..., cdx=True)``."""
+    return spark.read.parquet(os.path.join(path, "cdx"))
+
+
+def read_warc_record(path: str, file: str, offset: int, length: int) -> dict:
+    """Random-access point lookup: seek to one gzip member and parse
+    exactly one record — O(record), never O(archive). ``file``,
+    ``offset`` and ``length`` come from a CDX row."""
+    with open(os.path.join(path, file), "rb") as fh:
+        fh.seek(offset)
+        member = fh.read(length)
+    [row] = parse_warc_member(gzip.decompress(member))
+    return row
 
 
 def parse_warc_member(blob: bytes) -> list[dict]:

@@ -127,3 +127,52 @@ def test_warc_corruption_raises_value_error():
         parse_warc_member(good)
     with pytest.raises(ValueError, match="Content-Length"):
         parse_warc_member(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n")
+
+
+def test_cdx_index_point_lookup(spark):
+    """CDX index: every record point-reads back exactly via its
+    (file, offset, length) triple, and the digest column matches the
+    standard sha1:<b32> of the payload."""
+    import base64
+    import hashlib as hl
+
+    from common_crawl___autumn_2025_spark.sources.warc import (
+        read_cdx,
+        read_warc_record,
+    )
+
+    recs = syn.records_df(spark, 40, partitions=3)
+    want = {
+        r.image_id: (bytes(r.bytes), r.caption, r.phash)
+        for r in recs.collect()
+    }
+    root = tempfile.mkdtemp(prefix="warc_cdx_")
+    try:
+        assert write_warc(recs, root, cdx=True) == 40
+        idx = read_cdx(spark, root).collect()
+        assert len(idx) == 40
+        assert len({r.image_id for r in idx}) == 40
+        for r in idx:
+            got = read_warc_record(root, r.file, r.offset, r.length)
+            wb, wc, wp = want[r.image_id]
+            assert got["bytes"] == wb
+            assert got["caption"] == wc
+            assert got["phash"] == wp
+            assert r.digest == "sha1:" + base64.b32encode(
+                hl.sha1(wb).digest()
+            ).decode()
+        # offsets tile each archive exactly: contiguous, no overlap
+        by_file = {}
+        for r in idx:
+            by_file.setdefault(r.file, []).append((r.offset, r.length))
+        import os as _os
+
+        for fname, spans in by_file.items():
+            spans.sort()
+            pos = 0
+            for off, ln in spans:
+                assert off == pos
+                pos = off + ln
+            assert pos == _os.path.getsize(_os.path.join(root, fname))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
