@@ -238,18 +238,55 @@ class CheckpointStore:
                     "snapshot"
                 )
             rounds = [r for r in rounds if r <= upto]
-        manifests = {r: self.read_manifest(r) for r in rounds}
-        for i in reversed(range(len(rounds))):
-            if name in manifests[rounds[i]].get("base_tables", []):
-                rounds = rounds[i:]
+        # scan newest-first and stop at the base: manifests below it
+        # are never opened, so the per-call metadata cost is O(rounds
+        # above the base), not O(all rounds) — on an expired
+        # steady-state chain that is keep_last reads per call
+        kept: list[tuple[int, dict]] = []
+        for r in reversed(rounds):
+            m = self.read_manifest(r)
+            kept.append((r, m))
+            if name in m.get("base_tables", []):
                 break
         out = []
-        for r in rounds:
-            rel = manifests[r]["tables"].get(name, {}).get("path", name)
+        for r, m in reversed(kept):
+            rel = m["tables"].get(name, {}).get("path", name)
             path = os.path.join(self._round_dir(r), rel)
             if os.path.isdir(path):
                 out.append(path)
         return out
+
+    def _sweep_expiry_garbage(self) -> None:
+        """Finish a crashed expiry's step-3 cleanup. Runs at the top
+        of every ``expire_snapshots`` call — including ones with
+        nothing new to expire — so garbage from any crash window is
+        collected: round directories recorded in a live manifest's
+        ``expired_parents``, superseded or orphaned matches
+        directories (plain ``matches`` behind a swapped pointer,
+        ``matches.base-*`` generations the pointer skipped, and
+        ``_tmp.matches.base-*`` staging dirs)."""
+        rounds = self._committed_rounds()
+        manifests = {r: self.read_manifest(r) for r in rounds}
+        expired: set[int] = set()
+        for m in manifests.values():
+            expired |= set(m.get("expired_parents", []))
+        for r in sorted(expired & set(manifests)):
+            shutil.rmtree(self._round_dir(r), ignore_errors=True)
+        for r, m in manifests.items():
+            if r in expired:
+                continue
+            cur = m["tables"].get("matches", {}).get("path", "matches")
+            rd = self._round_dir(r)
+            for child in os.listdir(rd):
+                if child == cur:
+                    continue
+                if (
+                    child.startswith("matches.base-")
+                    or child.startswith("_tmp.matches.base-")
+                    or (child == "matches" and cur != "matches")
+                ):
+                    shutil.rmtree(os.path.join(rd, child),
+                                  ignore_errors=True)
 
     def expire_snapshots(self, keep_last: int) -> dict:
         """Iceberg-style snapshot expiry: drop all but the newest
@@ -285,6 +322,11 @@ class CheckpointStore:
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        # collect any prior crashed expiry's garbage FIRST — even when
+        # this call has nothing new to expire (the docstring's "a
+        # crash re-runs cleanup on the next expiry" must hold on the
+        # no-op path too)
+        self._sweep_expiry_garbage()
         rounds = self._committed_rounds()
         if len(rounds) <= keep_last:
             return {"expired": [], "retained": rounds}
@@ -293,24 +335,24 @@ class CheckpointStore:
         base_dir = self._round_dir(base)
 
         # 1. compacted matches = every delta (and prior base) <= base.
-        # The directory name carries a GENERATION counter: a repeat
-        # expiry at the same base (e.g. finishing a crashed cleanup)
-        # writes a fresh directory and swaps the manifest pointer —
-        # never renames onto (or deletes) the directory the live
-        # manifest still points at.
+        # The directory name carries a GENERATION counter probed for
+        # freshness: a repeat expiry at the same base writes a fresh
+        # directory and swaps the manifest pointer — never renames
+        # onto (or deletes) the directory the live manifest still
+        # points at (post-sweep, the only surviving generation IS the
+        # live pointer, so the probe skips at most one).
         src_paths = self.delta_table_paths("matches", upto=base)
-        m_prev = self.read_manifest(base)
-        gen = len(m_prev.get("expired_parents", [])) + len(expired)
+        m = self.read_manifest(base)
+        old_rel = m["tables"].get("matches", {}).get("path", "matches")
+        gen = 0
         while os.path.exists(
             os.path.join(base_dir, f"matches.base-upto{base}-g{gen}")
         ):
-            gen += 1  # skip live/orphaned generations from crashed runs
+            gen += 1
         compact_rel = f"matches.base-upto{base}-g{gen}"
         compact_tmp = os.path.join(base_dir, "_tmp." + compact_rel)
         if os.path.exists(compact_tmp):
             shutil.rmtree(compact_tmp)
-        m = self.read_manifest(base)
-        old_rel = m["tables"].get("matches", {}).get("path", "matches")
         if src_paths:
             self.spark.read.parquet(*src_paths).coalesce(
                 max(1, len(src_paths) // 8)

@@ -518,15 +518,16 @@ class SeenSet:
 
         def build_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
-            # dedupe per-shard keys by h1: a pathological exact table
-            # (task-retry double-appends, same surt re-added in two
-            # rounds) would otherwise rebuild the very duplicate
-            # inflation that compact() exists to remove. np.unique is
-            # vectorized — no extra shuffle. (Collapsing two DISTINCT
-            # surts requires a full 64-bit xxh64 collision, ~2^-64;
-            # same-fingerprint distinct-h1 keys still insert two
-            # copies, as they must for incremental deletes.)
-            h1 = np.unique(h1_from_int64(pdf["__h1"].to_numpy()))
+            # one sidecar copy PER EXACT ROW, deliberately not
+            # deduped: the incremental cuckoo delete removes one copy
+            # per rolled-back ROW, so the copy-count invariant
+            # (sidecar copies == exact rows per key) is what makes a
+            # delete of one row's copy leave a surviving duplicate
+            # row's copy intact. Retry/speculation double-inserts
+            # never reach the exact table (parquet commits exactly
+            # one task attempt), so a rebuild from it still sheds
+            # exactly the sidecar-only surplus compact() targets.
+            h1 = h1_from_int64(pdf["__h1"].to_numpy())
             if kind == "bloom":
                 bitmap = np.zeros(bits, dtype=bool)
                 bitmap[bloom_positions_vec(h1, bits, k).ravel()] = True

@@ -62,7 +62,9 @@ def _edges(spark, sf_dir: str) -> tuple[DataFrame, int]:
     parquet-footer scalar (no data scan) needed because the modular
     rule is a plan-time literal on the Spark side."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
+    # max(n, 1): an empty table must yield an empty edge set, not a
+    # modulo-by-zero (the literal is never applied to any row then)
+    n = max(docs.count(), 1)
     src = F.col("doc_id")
     e = docs.select(
         src.alias("src"),

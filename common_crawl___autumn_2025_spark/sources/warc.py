@@ -85,14 +85,20 @@ def _render_record(row, date: str) -> bytes:
         ("WARC-Type", "resource"),
         ("WARC-Record-ID", f"<{record_id_for(row.image_id)}>"),
         ("WARC-Date", date),
-        ("WARC-Target-URI", f"urn:image:{row.image_id}"),
+        # image_id is arbitrary caller text: percent-encode it so the
+        # URI stays one latin-1 line (same rule as the caption — a
+        # raw CRLF or non-latin char would corrupt/crash the header)
+        ("WARC-Target-URI", f"urn:image:{_encode_header(row.image_id)}"),
         ("WARC-Payload-Digest", payload_digest(payload)),
         ("Content-Type", _CONTENT_TYPES.get(fmt, "application/octet-stream")),
         ("Content-Length", str(len(payload))),
-        ("WARC-X-Image-Format", row.fmt or ""),
-        ("WARC-X-Width", str(row.w if row.w is not None else "")),
-        ("WARC-X-Height", str(row.h if row.h is not None else "")),
-        ("WARC-X-Phash", str(row.phash if row.phash is not None else "")),
+        ("WARC-X-Image-Format", _encode_header(row.fmt)),
+        ("WARC-X-Width", _opt_int(row.w)),
+        ("WARC-X-Height", _opt_int(row.h)),
+        ("WARC-X-Phash", _opt_int(row.phash)),
+        # NULL payload vs genuinely-empty payload both frame as
+        # Content-Length: 0 — the marker preserves the distinction
+        ("WARC-X-Null-Payload", "1" if row.bytes is None else ""),
         # caption is arbitrary text: header values must be one line,
         # so it travels percent-encoded (latin-1-safe, reversible)
         ("WARC-X-Caption", _encode_header(row.caption)),
@@ -101,6 +107,15 @@ def _render_record(row, date: str) -> bytes:
         f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
     )
     return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _opt_int(v) -> str:
+    """NULL-safe integer header value: pandas hands a null int column
+    to the Arrow writer as float NaN, which must serialize as absent
+    ("") — not the string 'nan'."""
+    if v is None or v != v:  # NaN != NaN
+        return ""
+    return str(int(v))
 
 
 def _encode_header(value) -> str:
@@ -185,7 +200,10 @@ def write_warc(
             slug = hashlib.blake2b(first.encode(), digest_size=8).hexdigest()
             fname = f"{prefix}-{slug}.warc.gz"
             f = os.path.join(path, fname)
-            tmp = f + f".tmp.{os.getpid()}"
+            # dot-prefixed tmp: a crash between write and rename must
+            # leave a file that NEITHER read_warc's '*.warc*' glob nor
+            # Spark's file index can pick up (hidden-file convention)
+            tmp = os.path.join(path, f".tmp.{os.getpid()}.{fname}")
             with open(tmp, "wb") as fh:
                 fh.write(b"".join(buf))
             os.replace(tmp, f)
@@ -203,7 +221,10 @@ def write_warc(
                     ]
                 )
                 cf = os.path.join(path, "cdx", f"{prefix}-{slug}.parquet")
-                ctmp = cf + f".tmp.{os.getpid()}"
+                ctmp = os.path.join(
+                    path, "cdx",
+                    f".tmp.{os.getpid()}.{prefix}-{slug}.parquet",
+                )  # dotfile: parquet readers skip crash leftovers
                 pq.write_table(tbl, ctmp)
                 os.replace(ctmp, cf)
         yield pd.DataFrame({"n": [n]})
@@ -266,13 +287,15 @@ def parse_warc_member(blob: bytes) -> list[dict]:
             return int(v) if v not in ("", None) else None
 
         uri = hdr.get("warc-target-uri", "")
+        null_payload = hdr.get("warc-x-null-payload") == "1"
         out.append(
             {
-                "image_id": uri.split("urn:image:", 1)[-1],
-                "bytes": payload if payload else None,
+                "image_id": _decode_header(uri.split("urn:image:", 1)[-1]),
+                "bytes": None if null_payload else payload,
                 "w": _int("warc-x-width"),
                 "h": _int("warc-x-height"),
-                "fmt": hdr.get("warc-x-image-format") or None,
+                "fmt": _decode_header(hdr.get("warc-x-image-format", ""))
+                or None,
                 "caption": _decode_header(hdr.get("warc-x-caption", "")),
                 "phash": _int("warc-x-phash"),
             }

@@ -140,3 +140,34 @@ def test_resume_after_expiry_equals_uninterrupted(spark, deep_spec):
     finally:
         shutil.rmtree(full_root, ignore_errors=True)
         shutil.rmtree(part_root, ignore_errors=True)
+
+
+def test_noop_expiry_sweeps_orphaned_generations(spark, deep_spec):
+    """A crash between the compacted-dir rename and the manifest
+    publish leaves a generation directory the pointer never adopted;
+    the next expiry call — even with nothing to expire — collects
+    it (and never touches the live pointer's directory)."""
+    import os
+
+    seeds = syn.seed_urls(deep_spec.web, 10)
+    eng, root = _crawl(spark, deep_spec, seeds)
+    try:
+        before = _cum_matches(eng)
+        eng.store.expire_snapshots(keep_last=1)
+        latest = eng.store.latest_round()
+        rd = eng.store._round_dir(latest)
+        live = eng.store.read_manifest(latest)["tables"]["matches"]["path"]
+        orphan = os.path.join(rd, f"matches.base-upto{latest}-g7")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "junk.parquet"), "wb").close()
+        stale_tmp = os.path.join(rd, "_tmp.matches.base-upto9-g0")
+        os.makedirs(stale_tmp)
+
+        out = eng.store.expire_snapshots(keep_last=1)
+        assert out["expired"] == []
+        assert not os.path.exists(orphan)
+        assert not os.path.exists(stale_tmp)
+        assert os.path.isdir(os.path.join(rd, live))
+        assert _cum_matches(eng) == before
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

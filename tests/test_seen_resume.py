@@ -619,10 +619,51 @@ def test_rollback_incompatible_sidecars_degrades_to_full_rebuild(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _replay_sidecar_inserts(spark, seen, surts, times=1):
+    """Simulate task-retry/speculation double-inserts HONESTLY:
+    re-run the sidecar fingerprint inserts without touching the
+    exact table (parquet commits exactly one task attempt, so real
+    retries inflate only the sidecars)."""
+    import numpy as np
+
+    from common_crawl___autumn_2025_spark.crawl.cuckoo import (
+        _FP_HASH,
+        CuckooShard,
+    )
+    from common_crawl___autumn_2025_spark.crawl.hashing import (
+        cuckoo_parts_vec,
+        h1_from_int64,
+    )
+    from common_crawl___autumn_2025_spark.crawl.seen import h1_expr
+
+    rows = (
+        spark.createDataFrame([(s,) for s in surts], "surt string")
+        .select(
+            shard_expr("surt", seen.n_shards).alias("shard"),
+            h1_expr("surt").alias("h1"),
+        )
+        .collect()
+    )
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.h1)
+    for shard, h1s in by_shard.items():
+        f = seen._bloom_file(shard)
+        cf = CuckooShard.from_array(np.load(f))
+        h1 = h1_from_int64(np.array(h1s, dtype=np.int64))
+        fp, i1, i2 = cuckoo_parts_vec(h1, seen.cuckoo_buckets, _FP_HASH)
+        for _ in range(times):
+            for j in range(len(fp)):
+                cf.insert_parts(int(fp[j]), int(i1[j]), int(i2[j]))
+        np.save(open(f, "wb"), cf.to_array())
+    seen._bitmaps = None
+
+
 def test_cuckoo_compact_sheds_duplicate_inflation(spark):
     """compact() rebuilds over-loaded cuckoo shards from the exact
-    table, shedding retry-duplicate fingerprint copies: load returns
-    to the true-key level and membership stays exact."""
+    table, shedding retry-duplicate fingerprint copies (which exist
+    ONLY in the sidecars): load returns to the true-key level and
+    membership stays exact."""
     surts = [f"com,cmp{i:03d})/" for i in range(150)]
     root = tempfile.mkdtemp(prefix="seen_cmp_")
     try:
@@ -633,7 +674,7 @@ def test_cuckoo_compact_sheds_duplicate_inflation(spark):
         df = spark.createDataFrame([(s,) for s in surts], "surt string")
         seen.add(df, round_no=0)
         load1 = sorted(st["load_factor"] for st in seen.sidecar_stats())
-        seen.add(df, round_no=1)  # retry duplicates: load doubles
+        _replay_sidecar_inserts(spark, seen, surts)  # the "retry"
         assert sorted(
             st["load_factor"] for st in seen.sidecar_stats()
         ) > load1
@@ -658,21 +699,21 @@ def test_cuckoo_compact_sheds_duplicate_inflation(spark):
 
 
 def test_cuckoo_compact_clears_duplicate_saturation(spark):
-    """A shard pushed into saturation purely by duplicate inserts
-    (true keys fit comfortably) is un-saturated by compact() and
-    probes exactly afterward."""
+    """A shard pushed into saturation purely by duplicate sidecar
+    inserts (true keys fit comfortably) is un-saturated by compact()
+    and probes exactly afterward."""
     surts = [f"com,sat{i:03d})/" for i in range(40)]
     root = tempfile.mkdtemp(prefix="seen_csat_")
     try:
         # 2 shards x 8 buckets x 4 slots = 32 slots/shard; ~20 true
-        # keys/shard fit, but 6x duplicates force saturation
+        # keys/shard fit, but 5x retry duplicates force saturation
         seen = SeenSet(
             spark, root, n_shards=2, bits_per_shard=256,
             filter_kind="cuckoo",
         )
         df = spark.createDataFrame([(s,) for s in surts], "surt string")
-        for rnd in range(6):
-            seen.add(df, round_no=rnd)
+        seen.add(df, round_no=0)
+        _replay_sidecar_inserts(spark, seen, surts, times=5)
         assert any(st["saturated"] for st in seen.sidecar_stats())
 
         compacted = seen.compact()
@@ -686,6 +727,40 @@ def test_cuckoo_compact_clears_duplicate_saturation(spark):
         )
         out = {r.surt for r in seen.filter_unseen(probe).collect()}
         assert out == {"com,freshs)/y"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rebuild_keeps_one_copy_per_exact_row(spark):
+    """The copy-count invariant behind the incremental delete: a
+    rebuild inserts one sidecar copy PER EXACT ROW, so when the same
+    surt legitimately exists in two rounds' partitions, rolling back
+    one round leaves the surviving row's copy — never a false
+    negative (the review-found np.unique regression)."""
+    root = tempfile.mkdtemp(prefix="seen_copies_")
+    try:
+        seen = SeenSet(
+            spark, root, n_shards=2, bits_per_shard=1 << 12,
+            filter_kind="cuckoo",
+        )
+        df = spark.createDataFrame(
+            [(f"com,dup{i:02d})/",) for i in range(30)], "surt string"
+        )
+        # same surts land in BOTH rounds' exact partitions (standalone
+        # SeenSet use has no seen-gate)
+        seen.add(df, round_no=0)
+        seen.add(df, round_no=1)
+        # force the per-row rebuild path, then roll back round 1:
+        # the incremental delete removes round 1's copies only
+        seen.compact(load_threshold=0.0)
+        seen.rollback(0)
+        probe = spark.createDataFrame(
+            [(f"com,dup{i:02d})/",) for i in range(30)]
+            + [("com,fresh)/z",)],
+            "surt string",
+        )
+        out = {r.surt for r in seen.filter_unseen(probe).collect()}
+        assert out == {"com,fresh)/z"}  # round-0 rows still seen
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

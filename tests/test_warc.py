@@ -176,3 +176,62 @@ def test_cdx_index_point_lookup(spark):
             assert pos == _os.path.getsize(_os.path.join(root, fname))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_reader_ignores_crash_leftover_tmps(spark):
+    """A crash between the tmp write and the rename leaves dotfile
+    tmps that neither read_warc nor read_cdx may pick up."""
+    import os
+
+    from common_crawl___autumn_2025_spark.sources.warc import read_cdx
+
+    recs = syn.records_df(spark, 12, partitions=1)
+    want = _collect(recs)
+    root = tempfile.mkdtemp(prefix="warc_tmp_")
+    try:
+        write_warc(recs, root, cdx=True)
+        [f] = glob.glob(root + "/*.warc.gz")
+        fname = os.path.basename(f)
+        # simulate the crash window: a fully-written tmp AND a
+        # truncated one, in both the archive dir and cdx/
+        shutil.copy(f, os.path.join(root, f".tmp.999.{fname}"))
+        open(os.path.join(root, ".tmp.999.trunc.warc.gz"), "wb").write(
+            open(f, "rb").read()[:37]
+        )
+        [c] = glob.glob(root + "/cdx/*.parquet")
+        shutil.copy(
+            c, os.path.join(root, "cdx", f".tmp.999.{os.path.basename(c)}")
+        )
+        assert _collect(read_warc(spark, root)) == want  # no dupes/crash
+        assert read_cdx(spark, root).count() == 12
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_null_vs_empty_payload_and_unicode_ids(spark):
+    """bytes=b'' and bytes=NULL are distinct after a round trip, and
+    arbitrary (non-latin-1, CRLF-bearing) image ids / fmts survive."""
+    rows = [
+        ("empty", bytearray(b""), 0, 0, "png", "cap-empty", 1),
+        ("null", None, None, None, None, None, None),
+        ("img—ünïcode\r\nWARC-Type: evil", bytearray(b"\x05"), 1, 1,
+         "fmt\r\nX: y", "c", 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    root = tempfile.mkdtemp(prefix="warc_nullb_")
+    try:
+        assert write_warc(df, root) == 3
+        got = {r.image_id: r for r in read_warc(spark, root).collect()}
+        assert set(got) == {r[0] for r in rows}
+        assert bytes(got["empty"].bytes) == b""  # empty, NOT null
+        assert got["null"].bytes is None  # null, NOT empty
+        assert got["null"].caption is None or got["null"].caption == ""
+        nasty = got["img—ünïcode\r\nWARC-Type: evil"]
+        assert bytes(nasty.bytes) == b"\x05"
+        assert nasty.fmt == "fmt\r\nX: y"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
