@@ -235,3 +235,43 @@ def test_warc_null_vs_empty_payload_and_unicode_ids(spark):
         assert nasty.fmt == "fmt\r\nX: y"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_parse_warc_member_fuzz_never_crashes():
+    """Foreign/corrupt archives: arbitrary bytes either parse to
+    well-typed rows or raise ValueError — never IndexError/KeyError/
+    UnicodeDecodeError/OverflowError (the flag-don't-crash contract
+    corrupt real-corpus archives depend on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # seed corpus: a valid record to mutate around
+    valid = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 3\r\n"
+        b"WARC-Target-URI: urn:image:x\r\n\r\nabc\r\n\r\n"
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=200),
+            st.binary(max_size=60).map(lambda b: valid[: len(b)] + b),
+            st.integers(0, len(valid) - 1).flatmap(
+                lambda i: st.integers(0, 255).map(
+                    lambda v: valid[:i] + bytes([v]) + valid[i + 1:]
+                )
+            ),
+        )
+    )
+    def run(blob):
+        try:
+            rows = parse_warc_member(blob)
+        except ValueError:
+            return
+        for r in rows:
+            assert isinstance(r["image_id"], str)
+            assert r["bytes"] is None or isinstance(r["bytes"], bytes)
+            for k in ("w", "h", "phash"):
+                assert r[k] is None or isinstance(r[k], int)
+
+    run()
