@@ -138,6 +138,24 @@ CDX_SCHEMA = (
 )
 
 
+def _render_warcinfo(slug: str, date: str) -> bytes:
+    """The warcinfo record real Common Crawl files open with —
+    archive-level metadata as application/warc-fields."""
+    body = (
+        b"software: common-crawl-autumn-2025-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + f"WARC-Record-ID: <{record_id_for('warcinfo:' + slug)}>\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + b"Content-Type: application/warc-fields\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
 def write_warc(
     records: DataFrame,
     path: str,
@@ -198,6 +216,12 @@ def write_warc(
             # deterministic under a deterministic partitioning, and
             # collision-free (a record is in exactly one partition)
             slug = hashlib.blake2b(first.encode(), digest_size=8).hexdigest()
+            # archives open with a warcinfo record (Common Crawl
+            # convention); CDX offsets shift past its member
+            info = gzip.compress(_render_warcinfo(slug, date), 6, mtime=0)
+            buf.insert(0, info)
+            for r in idx:
+                r["offset"] += len(info)
             fname = f"{prefix}-{slug}.warc.gz"
             f = os.path.join(path, fname)
             # dot-prefixed tmp: a crash between write and rename must
@@ -281,6 +305,8 @@ def parse_warc_member(blob: bytes) -> list[dict]:
         if len(payload) != clen:
             raise ValueError("truncated WARC payload")
         pos = end + 4 + clen
+        if hdr.get("warc-type") != "resource":
+            continue  # warcinfo / foreign record types carry no rows
 
         def _int(key):
             v = hdr.get(key, "")

@@ -60,14 +60,20 @@ def test_warc_format_is_standard(spark):
         raw = open(f, "rb").read()
         one = gzip.GzipFile(fileobj=__import__("io").BytesIO(raw)).read()
         assert parse_warc_member(one)  # concatenation handled
+        # the archive opens with a warcinfo record (CC convention)...
         head = blob.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+        assert "WARC-Type: warcinfo" in head
+        assert "Content-Type: application/warc-fields" in head
+        # ...and every record carries the mandatory headers
+        body = blob.decode("latin-1", errors="replace")
         for required in (
             "WARC-Type: resource",
             "WARC-Record-ID: <urn:uuid:",
             "WARC-Date: ",
             "Content-Length: ",
+            "WARC-Payload-Digest: sha1:",
         ):
-            assert required in head
+            assert required in body
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -169,7 +175,10 @@ def test_cdx_index_point_lookup(spark):
 
         for fname, spans in by_file.items():
             spans.sort()
-            pos = 0
+            # first resource member sits right after the warcinfo
+            # preamble; from there, spans tile to the exact file end
+            assert spans[0][0] > 0
+            pos = spans[0][0]
             for off, ln in spans:
                 assert off == pos
                 pos = off + ln

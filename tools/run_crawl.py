@@ -50,6 +50,22 @@ def main() -> None:
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--expire-keep",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after the run, expire all but the newest N snapshots "
+        "(matches deltas compact into a base table; bounds "
+        "checkpoint storage on long crawls)",
+    )
+    ap.add_argument(
+        "--warc-out",
+        default=None,
+        metavar="DIR",
+        help="after the run, archive every round's fetched records "
+        "as member-gzip WARC/1.0 + CDX index under DIR",
+    )
+    ap.add_argument(
         "--seen-stats",
         action="store_true",
         help="append per-shard seen-sidecar health to the summary "
@@ -81,6 +97,24 @@ def main() -> None:
     summary = engine.run(seeds, resume=args.resume)
     elapsed = time.time() - t0
     fetched = sum(r["fetched"] for r in summary["rounds"])
+    extra = {}
+    if args.warc_out is not None:
+        from common_crawl___autumn_2025_spark.sources.warc import write_warc
+
+        latest = engine.store.latest_round()
+        n_archived = 0
+        if latest is not None:
+            for r in range(latest + 1):
+                n_archived += write_warc(
+                    engine.store.read_table(r, "records"),
+                    args.warc_out,
+                    prefix=f"round{r}",
+                    cdx=True,
+                )
+        extra["warc_records"] = n_archived
+        extra["warc_out"] = args.warc_out
+    if args.expire_keep is not None:
+        extra["expiry"] = engine.store.expire_snapshots(args.expire_keep)
     print(
         json.dumps(
             {
@@ -95,6 +129,7 @@ def main() -> None:
                     if args.seen_stats
                     else {}
                 ),
+                **extra,
             }
         )
     )
