@@ -305,7 +305,20 @@ def parse_warc_member(blob: bytes) -> list[dict]:
         if len(payload) != clen:
             raise ValueError("truncated WARC payload")
         pos = end + 4 + clen
-        if hdr.get("warc-type") != "resource":
+        wtype = hdr.get("warc-type")
+        if wtype == "response" and hdr.get("content-type", "").startswith(
+            "application/http"
+        ):
+            # REAL Common Crawl record shape: the payload is a full
+            # HTTP response message — strip its header block so the
+            # row carries the entity body, and derive fmt from the
+            # HTTP Content-Type (interop path: point read_warc at an
+            # actual CC crawl archive)
+            row = _http_response_row(hdr, payload)
+            if row is not None:
+                out.append(row)
+            continue
+        if wtype != "resource":
             continue  # warcinfo / foreign record types carry no rows
 
         def _int(key):
@@ -327,6 +340,44 @@ def parse_warc_member(blob: bytes) -> list[dict]:
             }
         )
     return out
+
+
+_FMT_FROM_MIME = {v: k for k, v in _CONTENT_TYPES.items() if k != "jpg"}
+
+
+def _http_response_row(hdr: dict, payload: bytes) -> dict | None:
+    """Record-table row from a Common-Crawl-style HTTP response
+    payload (status line + headers + entity body). Non-2xx responses
+    carry no entity worth keeping — skipped (None). fmt derives from
+    the HTTP Content-Type when it names a known image MIME type."""
+    split = payload.find(b"\r\n\r\n")
+    if split < 0:
+        raise ValueError("response record without an HTTP header block")
+    http_head = payload[:split].decode("latin-1", errors="replace")
+    body = payload[split + 4 :]
+    lines = http_head.split("\r\n")
+    status_parts = lines[0].split()
+    try:
+        status = int(status_parts[1])
+    except (IndexError, ValueError) as e:
+        raise ValueError("malformed HTTP status line in response record") from e
+    if not 200 <= status < 300:
+        return None
+    mime = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            mime = v.strip().split(";", 1)[0].strip().lower()
+            break
+    return {
+        "image_id": hdr.get("warc-target-uri", ""),
+        "bytes": body,
+        "w": None,
+        "h": None,
+        "fmt": _FMT_FROM_MIME.get(mime),
+        "caption": None,
+        "phash": None,
+    }
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

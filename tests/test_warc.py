@@ -284,3 +284,53 @@ def test_parse_warc_member_fuzz_never_crashes():
                 assert r[k] is None or isinstance(r[k], int)
 
     run()
+
+
+def test_read_real_common_crawl_response_records(spark):
+    """Interop: a hand-built archive in REAL Common Crawl shape
+    (WARC-Type: response, payload = full HTTP message) ingests with
+    the HTTP header block stripped, fmt from the HTTP Content-Type,
+    non-2xx skipped, and mixes cleanly with our resource records."""
+    import gzip as gz
+    import os
+
+    def response_record(uri, status, ctype, body):
+        http = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2017-03-06T04:00:00Z\r\n"
+            b"WARC-Record-ID: <urn:uuid:0001-2>\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+        )
+        return head + b"\r\n" + http + b"\r\n\r\n"
+
+    blob = (
+        response_record("http://a.example/x.png", 200, "image/png",
+                        b"\x89PNGfake")
+        + response_record("http://a.example/page", 200,
+                          "text/html; charset=utf-8", b"<html>hi")
+        + response_record("http://a.example/gone", 404, "image/png",
+                          b"notfound")
+    )
+    root = tempfile.mkdtemp(prefix="warc_cc_")
+    try:
+        with open(os.path.join(root, "cc.warc.gz"), "wb") as fh:
+            fh.write(gz.compress(blob, 6))
+        rows = {r.image_id: r for r in read_warc(spark, root).collect()}
+        assert set(rows) == {
+            "http://a.example/x.png", "http://a.example/page"
+        }  # 404 skipped
+        png = rows["http://a.example/x.png"]
+        assert bytes(png.bytes) == b"\x89PNGfake"  # HTTP headers stripped
+        assert png.fmt == "png"  # from the HTTP Content-Type
+        html = rows["http://a.example/page"]
+        assert bytes(html.bytes) == b"<html>hi"
+        assert html.fmt is None  # not a known image MIME type
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
