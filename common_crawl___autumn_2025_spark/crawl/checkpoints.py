@@ -270,7 +270,10 @@ class CheckpointStore:
         expired: set[int] = set()
         for m in manifests.values():
             expired |= set(m.get("expired_parents", []))
-        for r in sorted(expired & set(manifests)):
+        for r in sorted(expired):
+            # unconditionally: a cleanup that crashed after unlinking
+            # a round's manifest leaves a manifest-less dir that would
+            # otherwise leak forever (rmtree on a missing dir no-ops)
             shutil.rmtree(self._round_dir(r), ignore_errors=True)
         for r, m in manifests.items():
             if r in expired:

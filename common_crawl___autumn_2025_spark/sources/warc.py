@@ -93,9 +93,13 @@ def _render_record(row, date: str) -> bytes:
         ("Content-Type", _CONTENT_TYPES.get(fmt, "application/octet-stream")),
         ("Content-Length", str(len(payload))),
         ("WARC-X-Image-Format", _encode_header(row.fmt)),
-        ("WARC-X-Width", _opt_int(row.w)),
-        ("WARC-X-Height", _opt_int(row.h)),
-        ("WARC-X-Phash", _opt_int(row.phash)),
+        # w/h/phash arrive as JVM-cast STRINGS (see write_warc): a
+        # pandas int64 column with any null coerces the whole batch
+        # to float64, which silently rounds 64-bit phashes above
+        # 2^53 — the string cast keeps full precision end to end
+        ("WARC-X-Width", row.w or ""),
+        ("WARC-X-Height", row.h or ""),
+        ("WARC-X-Phash", row.phash or ""),
         # NULL payload vs genuinely-empty payload both frame as
         # Content-Length: 0 — the marker preserves the distinction
         ("WARC-X-Null-Payload", "1" if row.bytes is None else ""),
@@ -107,15 +111,6 @@ def _render_record(row, date: str) -> bytes:
         f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
     )
     return head + b"\r\n" + payload + b"\r\n\r\n"
-
-
-def _opt_int(v) -> str:
-    """NULL-safe integer header value: pandas hands a null int column
-    to the Arrow writer as float NaN, which must serialize as absent
-    ("") — not the string 'nan'."""
-    if v is None or v != v:  # NaN != NaN
-        return ""
-    return str(int(v))
 
 
 def _encode_header(value) -> str:
@@ -179,6 +174,21 @@ def write_warc(
     os.makedirs(path, exist_ok=True)
     if cdx:
         os.makedirs(os.path.join(path, "cdx"), exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    # int columns cross into Python as JVM-cast strings: pandas would
+    # otherwise coerce a with-nulls int64 batch to float64 and round
+    # 64-bit phashes (exact above 2^53 is unrepresentable there)
+    records = records.select(
+        "image_id",
+        "bytes",
+        "fmt",
+        "caption",
+        F.col("w").cast("string").alias("w"),
+        F.col("h").cast("string").alias("h"),
+        F.col("phash").cast("string").alias("phash"),
+    )
 
     def dump(batches):
         first = None
@@ -326,10 +336,17 @@ def parse_warc_member(blob: bytes) -> list[dict]:
             return int(v) if v not in ("", None) else None
 
         uri = hdr.get("warc-target-uri", "")
+        # percent-decoding is OUR writer's convention, marked by the
+        # urn:image: prefix — a foreign resource record's URI with
+        # literal %xx sequences must pass through untouched
+        if uri.startswith("urn:image:"):
+            image_id = _decode_header(uri.split("urn:image:", 1)[1])
+        else:
+            image_id = uri
         null_payload = hdr.get("warc-x-null-payload") == "1"
         out.append(
             {
-                "image_id": _decode_header(uri.split("urn:image:", 1)[-1]),
+                "image_id": image_id,
                 "bytes": None if null_payload else payload,
                 "w": _int("warc-x-width"),
                 "h": _int("warc-x-height"),
@@ -345,11 +362,40 @@ def parse_warc_member(blob: bytes) -> list[dict]:
 _FMT_FROM_MIME = {v: k for k, v in _CONTENT_TYPES.items() if k != "jpg"}
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (RFC 9112 §7.1).
+    Raises ValueError on malformed chunk sizes or truncation."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked body (no size line)")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError("malformed chunk size") from e
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are discarded
+        chunk = body[eol + 2 : eol + 2 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated chunk payload")
+        out.append(chunk)
+        pos = eol + 2 + size + 2  # skip the chunk's trailing CRLF
+
+
 def _http_response_row(hdr: dict, payload: bytes) -> dict | None:
     """Record-table row from a Common-Crawl-style HTTP response
     payload (status line + headers + entity body). Non-2xx responses
     carry no entity worth keeping — skipped (None). fmt derives from
-    the HTTP Content-Type when it names a known image MIME type."""
+    the HTTP Content-Type when it names a known image MIME type.
+
+    Real captured HTTP arrives as sent on the wire:
+    ``Transfer-Encoding: chunked`` framing is decoded, gzip/deflate
+    ``Content-Encoding`` is decompressed; a response under an
+    encoding this parser does not speak is SKIPPED (None) rather
+    than surfaced as silently-corrupt bytes."""
     split = payload.find(b"\r\n\r\n")
     if split < 0:
         raise ValueError("response record without an HTTP header block")
@@ -364,11 +410,38 @@ def _http_response_row(hdr: dict, payload: bytes) -> dict | None:
     if not 200 <= status < 300:
         return None
     mime = ""
+    transfer_enc = ""
+    content_enc = ""
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        k = k.strip().lower()
+        if k == "content-type":
             mime = v.strip().split(";", 1)[0].strip().lower()
-            break
+        elif k == "transfer-encoding":
+            transfer_enc = v.strip().lower()
+        elif k == "content-encoding":
+            content_enc = v.strip().lower()
+    if transfer_enc:
+        if transfer_enc != "chunked":
+            return None  # unknown framing: skip, never corrupt
+        body = _dechunk(body)
+    if content_enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except Exception as e:  # noqa: BLE001 — normalize to contract
+            raise ValueError("bad gzip content-encoding") from e
+    elif content_enc == "deflate":
+        import zlib
+
+        try:  # RFC-correct zlib wrapper first, raw-deflate fallback
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as e:
+                raise ValueError("bad deflate content-encoding") from e
+    elif content_enc not in ("", "identity"):
+        return None  # br/zstd/...: skip rather than corrupt
     return {
         "image_id": hdr.get("warc-target-uri", ""),
         "bytes": body,
@@ -397,11 +470,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 if p.endswith(".gz") or data[:2] == b"\x1f\x8b":
                     data = gzip.decompress(data)
                 rows.extend(parse_warc_member(data))
+            # int columns as pandas NULLABLE Int64: a plain DataFrame
+            # would coerce [int, None] to float64 and round 64-bit
+            # phashes above 2^53 before Arrow ever sees them
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-                ],
+                {
+                    "image_id": pd.Series(
+                        [r["image_id"] for r in rows], dtype=object
+                    ),
+                    "bytes": pd.Series(
+                        [r["bytes"] for r in rows], dtype=object
+                    ),
+                    "w": pd.array([r["w"] for r in rows], dtype="Int64"),
+                    "h": pd.array([r["h"] for r in rows], dtype="Int64"),
+                    "fmt": pd.Series(
+                        [r["fmt"] for r in rows], dtype=object
+                    ),
+                    "caption": pd.Series(
+                        [r["caption"] for r in rows], dtype=object
+                    ),
+                    "phash": pd.array(
+                        [r["phash"] for r in rows], dtype="Int64"
+                    ),
+                }
             )
 
     return files.mapInPandas(parse, schema=RECORD_SCHEMA)

@@ -163,10 +163,18 @@ def test_noop_expiry_sweeps_orphaned_generations(spark, deep_spec):
         stale_tmp = os.path.join(rd, "_tmp.matches.base-upto9-g0")
         os.makedirs(stale_tmp)
 
+        # ...and a half-deleted expired round whose manifest.json was
+        # already unlinked (cleanup crashed mid-rmtree): data subdirs
+        # remain but the round is no longer "committed"
+        half = eng.store._round_dir(0)
+        os.makedirs(os.path.join(half, "fetch_log"))
+        open(os.path.join(half, "fetch_log", "leak.parquet"), "wb").close()
+
         out = eng.store.expire_snapshots(keep_last=1)
         assert out["expired"] == []
         assert not os.path.exists(orphan)
         assert not os.path.exists(stale_tmp)
+        assert not os.path.exists(half)  # manifest-less leftover swept
         assert os.path.isdir(os.path.join(rd, live))
         assert _cum_matches(eng) == before
     finally:

@@ -334,3 +334,83 @@ def test_read_real_common_crawl_response_records(spark):
         assert html.fmt is None  # not a known image MIME type
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warc_phash_precision_with_nulls_in_batch(spark):
+    """A null in the batch must not float64-coerce sibling 64-bit
+    phashes (exact only up to 2^53 there): extreme int64 values
+    round-trip bit-exact alongside a null row."""
+    big = (1 << 63) - 1
+    rows = [
+        ("p1", bytearray(b"x"), 1, 1, "png", "c", big),
+        ("p2", bytearray(b"y"), 1, 1, "png", "c", -big - 1),
+        ("p3", bytearray(b"z"), None, None, "png", "c", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ).coalesce(1)  # one partition -> one pandas batch with the null
+    root = tempfile.mkdtemp(prefix="warc_phash_")
+    try:
+        write_warc(df, root)
+        got = {r.image_id: r.phash for r in read_warc(spark, root).collect()}
+        assert got == {"p1": big, "p2": -big - 1, "p3": None}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cc_response_encodings_and_foreign_uris(spark):
+    """Real-corpus HTTP bodies: chunked framing decoded, gzip
+    content-encoding decompressed, unknown encodings skipped (never
+    corrupt), and a foreign resource record's percent-containing URI
+    passes through undecoded."""
+    import gzip as gz
+
+    def rec(headers, payload):
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        ) + f"Content-Length: {len(payload)}\r\n".encode()
+        return head + b"\r\n" + payload + b"\r\n\r\n"
+
+    def resp(uri, http_headers, body):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            + b"".join(f"{k}: {v}\r\n".encode() for k, v in http_headers)
+            + b"\r\n" + body
+        )
+        return rec(
+            [("WARC-Type", "response"), ("WARC-Target-URI", uri),
+             ("Content-Type", "application/http; msgtype=response")],
+            http,
+        )
+
+    img = b"\x89PNG-raw-bytes"
+    chunked = b"6\r\n\x89PNG-r\r\n8\r\naw-bytes\r\n0\r\n\r\n"
+    blob = (
+        resp("http://x/chunked", [("Content-Type", "image/png"),
+                                  ("Transfer-Encoding", "chunked")], chunked)
+        + resp("http://x/gzipped", [("Content-Type", "image/jpeg"),
+                                    ("Content-Encoding", "gzip")],
+               gz.compress(img, 6))
+        + resp("http://x/brotli", [("Content-Type", "image/png"),
+                                   ("Content-Encoding", "br")], b"\x00junk")
+        + rec(
+            [("WARC-Type", "resource"),
+             ("WARC-Target-URI", "http://host/a%20b%2Fc")],
+            b"foreignpayload",
+        )
+    )
+    rows = {r["image_id"]: r for r in parse_warc_member(blob)}
+    assert rows["http://x/chunked"]["bytes"] == img  # de-chunked
+    assert rows["http://x/gzipped"]["bytes"] == img  # decompressed
+    assert rows["http://x/gzipped"]["fmt"] == "jpeg"
+    assert "http://x/brotli" not in rows  # skipped, not corrupted
+    # foreign URI: literal %xx preserved (no writer-side encoding)
+    assert rows["http://host/a%20b%2Fc"]["bytes"] == b"foreignpayload"
+
+    with pytest.raises(ValueError, match="chunk"):
+        parse_warc_member(
+            resp("http://x/bad", [("Transfer-Encoding", "chunked")],
+                 b"ZZ\r\nnope\r\n0\r\n\r\n")
+        )

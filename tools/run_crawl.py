@@ -101,16 +101,18 @@ def main() -> None:
     if args.warc_out is not None:
         from common_crawl___autumn_2025_spark.sources.warc import write_warc
 
-        latest = engine.store.latest_round()
         n_archived = 0
-        if latest is not None:
-            for r in range(latest + 1):
-                n_archived += write_warc(
-                    engine.store.read_table(r, "records"),
-                    args.warc_out,
-                    prefix=f"round{r}",
-                    cdx=True,
-                )
+        # committed rounds only (an --expire-keep'd store has gaps),
+        # and only rounds whose manifest actually carries records
+        for r in engine.store._committed_rounds():
+            if "records" not in engine.store.read_manifest(r)["tables"]:
+                continue
+            n_archived += write_warc(
+                engine.store.read_table(r, "records"),
+                args.warc_out,
+                prefix=f"round{r}",
+                cdx=True,
+            )
         extra["warc_records"] = n_archived
         extra["warc_out"] = args.warc_out
     if args.expire_keep is not None:
