@@ -178,3 +178,36 @@ def w06_event_gap(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "a18_arg_extremes",
+    """
+    SELECT o_custkey,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT)
+             AS priciest_order,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT)
+             AS cheapest_order,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+    """,
+)
+def a18_arg_extremes(spark, sf_dir):
+    """Per-group argmax/argmin (max_by/min_by): which ROW holds the
+    extreme, not the extreme itself — the per-host 'slowest fetch' /
+    per-seed 'best-scoring page' shape a crawl dashboard lives on.
+    One partial-aggregated groupBy; DuckDB spells it arg_max.
+    Determinism note: o_totalprice is unique per custkey group in
+    this data, so the argmax is well-defined in both engines."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 8)
+    )
