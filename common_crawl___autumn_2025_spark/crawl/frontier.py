@@ -687,27 +687,27 @@ class CrawlEngine:
             )
         )
         new_matches = self._filter_unmatched(new_matches, matches)
-        if self._mirror_valid:
-            # the per-round delta is small; mirror it — unless the
-            # cumulative set just crossed the cap, in which case drop
-            # the mirror for good (no more per-round collect jobs; all
-            # later filters anti-join the matches table directly)
-            new_ids = [r[0] for r in new_matches.select("seed_id").collect()]
-            self._matched_ids.update(new_ids)
-            if len(self._matched_ids) > self.matched_mirror_limit:
-                self._mirror_valid = False
-                self._matched_ids = set()
-                self._matched_df_n = None
-        matches_cum = matches.unionByName(new_matches)
+        # NOTE: the driver mirror update (collect of the delta's seed
+        # ids) deliberately does NOT happen here — run() performs it
+        # AFTER launching the background commit so the tiny collect
+        # job overlaps the commit writes instead of sitting on the
+        # round's critical path (VERDICT r4 "Next round" #1: the
+        # new_matches phase measured ~0.6 s/round of fixed latency).
         phase["new_matches"] = round(time.time() - t0, 3)
-        del matches  # from here on: matches_cum (expansion) / new_matches (commit)
 
-        # 8. link expansion from unsatisfied seeds' 200-pages
+        # 8. link expansion from unsatisfied seeds' 200-pages. The
+        # early-exit filter is split into (cumulative-through-last-
+        # round) + (this round's tiny delta) so the mirror fast path
+        # still applies to the bulk and no driver collect is needed
+        # for the delta — AQE broadcasts the window-over-checkpointed
+        # delta in the same job that writes/consumes next_frontier.
         expandable = fetched.where(
             (F.col("status") == 200) & (F.col("depth") < spec.max_depth)
         )
         if spec.early_exit:
-            expandable = self._filter_unmatched(expandable, matches_cum)
+            expandable = self._filter_unmatched(expandable, matches).join(
+                new_matches.select("seed_id"), on=["seed_id"], how="left_anti"
+            )
 
         # admission already ran inside the fetch pass (the ``admitted``
         # struct column), so frontier derivation is a JVM-only explode
@@ -777,6 +777,92 @@ class CrawlEngine:
             return self.spark.createDataFrame([], MATCH_SCHEMA)
         return self.spark.read.parquet(*paths)
 
+    # -- pipelined commit helpers ------------------------------------------
+
+    def _start_commit(
+        self, round_no: int, tables: dict, metrics: dict,
+        fetched: DataFrame, prev_fetched, cleanup: list, concurrent: bool,
+    ) -> dict:
+        """Launch the round's checkpoint commit on a background thread
+        and return a pending record for ``_finish_commit``. While the
+        four table writes run, the main thread proceeds into the NEXT
+        round's dedup/probe/fetch phases (their inputs are the in-
+        memory ``next_frontier`` / matches-delta plans over the
+        eagerly-checkpointed fetch, so nothing they read depends on
+        the commit landing) — this is what removes the core-invariant
+        per-round commit latency from the critical path (VERDICT r4
+        "What's wrong" #1: commit scaled at 0.242 raw because it is
+        fixed job latency, so the only win is overlap)."""
+        holder: dict = {}
+
+        def _commit():
+            try:
+                holder["manifest"] = self.store.commit(
+                    round_no, tables, metrics, self.spec.config_hash(),
+                    concurrent=concurrent,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                holder["err"] = e
+
+        th = threading.Thread(target=_commit, name=f"commit-r{round_no}")
+        th.start()
+        return {
+            "thread": th, "holder": holder, "round_no": round_no,
+            "fetched": fetched, "prev_fetched": prev_fetched,
+            "cleanup": cleanup,
+        }
+
+    def _finish_commit(self, pending: dict, summary: dict) -> dict:
+        """Join a pending commit; append its summary entry (including
+        how long the join actually blocked — the commit's residual
+        critical-path cost); release relations no plan can still
+        reference. The PREVIOUS round's checkpointed fetch is the one
+        freed here, not this round's: this round's matches-delta and
+        next-frontier plans (written by the just-joined commit, and
+        consumed by the round that ran concurrently with it) read the
+        previous round's checkpoint until this commit lands."""
+        t0 = time.time()
+        pending["thread"].join()
+        wait = round(time.time() - t0, 3)
+        if "err" in pending["holder"]:
+            raise pending["holder"]["err"]
+        manifest = pending["holder"]["manifest"]
+        round_entry = {
+            **manifest["metrics"],
+            "round": pending["round_no"],
+            "snapshot_id": manifest["snapshot_id"],
+        }
+        round_entry["phase_sec"] = {
+            **round_entry.get("phase_sec", {}), "commit_wait": wait,
+        }
+        if self.seen.filter_kind == "cuckoo":
+            # visibility + auto-compaction at the commit boundary
+            # (ADVICE r3): stats are O(sidecar bytes) driver reads
+            # — cheap at test scale, an explicit per-checkpoint
+            # cost the 4096-shard design point budgets for
+            stats = self.seen.sidecar_stats()
+            if stats:
+                round_entry["seen_max_load"] = max(
+                    s["load_factor"] for s in stats
+                )
+                round_entry["seen_saturated_shards"] = sum(
+                    1 for s in stats if s["saturated"]
+                )
+                thr = self.cuckoo_compact_threshold
+                if thr is not None and (
+                    round_entry["seen_saturated_shards"]
+                    or round_entry["seen_max_load"] > thr
+                ):
+                    round_entry["seen_compacted_shards"] = len(
+                        self.seen.compact(thr)
+                    )
+        summary["rounds"].append(round_entry)
+        if pending["prev_fetched"] is not None:
+            pending["prev_fetched"].unpersist()
+        for df in pending["cleanup"]:
+            df.unpersist()
+        return manifest
+
     def run(self, seeds: list[str], resume: bool = False) -> dict:
         spark, spec = self.spark, self.spec
         empty_matches = spark.createDataFrame([], MATCH_SCHEMA)
@@ -829,69 +915,85 @@ class CrawlEngine:
             frontier_count = self.store.read_manifest(start_round - 1)["tables"][
                 "frontier"
             ]["rows"]
-        for round_no in range(start_round, spec.max_rounds):
-            if frontier_count == 0:
-                break
-            nxt, fetched, match_delta, records, metrics = self.run_round(
-                round_no, frontier, matches, frontier_count=frontier_count
-            )
-            write_parts = self._parts(frontier_count, 8192)
-            fetch_log = fetched.drop("bytes", "admitted", "caption").coalesce(
-                write_parts
-            )
-            manifest = self.store.commit(
-                round_no,
-                {
-                    "frontier": nxt,
-                    "fetch_log": fetch_log,
-                    # PER-ROUND DELTA: only this round's new matches
-                    # are written; cumulative state is the multi-path
-                    # read below (read_matches_cum). Repartition, NOT
-                    # coalesce: coalesce(1) over the window plan
-                    # measured 6× slower than the explicit tiny
-                    # shuffle (it drags the window stage into the
-                    # single coalesced task)
-                    "matches": match_delta.repartition(write_parts),
-                    "records": records,
-                },
-                metrics,
-                spec.config_hash(),
-                concurrent=frontier_count <= self.concurrent_commit_threshold,
-            )
-            fetched.unpersist()
-            for df in getattr(self, "_pending_cleanup", []):
-                df.unpersist()
-            self._pending_cleanup = []
-            # manifest metrics already carry the full per-round phase
-            # timings INCLUDING commit (CheckpointStore.commit measures
-            # and injects phase_sec["commit"] itself)
-            round_entry = {**manifest["metrics"], "round": round_no,
-                           "snapshot_id": manifest["snapshot_id"]}
-            if self.seen.filter_kind == "cuckoo":
-                # visibility + auto-compaction at the commit boundary
-                # (ADVICE r3): stats are O(sidecar bytes) driver reads
-                # — cheap at test scale, an explicit per-checkpoint
-                # cost the 4096-shard design point budgets for
-                stats = self.seen.sidecar_stats()
-                if stats:
-                    round_entry["seen_max_load"] = max(
-                        s["load_factor"] for s in stats
-                    )
-                    round_entry["seen_saturated_shards"] = sum(
-                        1 for s in stats if s["saturated"]
-                    )
-                    thr = self.cuckoo_compact_threshold
-                    if thr is not None and (
-                        round_entry["seen_saturated_shards"]
-                        or round_entry["seen_max_load"] > thr
-                    ):
-                        round_entry["seen_compacted_shards"] = len(
-                            self.seen.compact(thr)
-                        )
-            summary["rounds"].append(round_entry)
-            frontier = self.store.read_table(round_no, "frontier")
-            # committed-state re-read truncates lineage; matches is the
-            # union of all committed deltas (bounded path list)
-            matches = self.read_matches_cum(round_no)
-            frontier_count = manifest["tables"]["frontier"]["rows"]
+        # PIPELINED COMMIT: round R's four checkpoint writes run on a
+        # background thread while the main thread counts the next
+        # frontier, updates the matched-id mirror, and runs round
+        # R+1's dedup/probe/fetch — the commit only re-enters the
+        # critical path as the (usually ~0) join wait at round R+1's
+        # own commit point. Crash window unchanged in spirit: a death
+        # while commit R is in flight resumes from R-1, and
+        # ``seen.rollback`` discards rounds R / R+1's seen deltas —
+        # the byte-identical-resume tests force this window.
+        pending: dict | None = None
+        prev_fetched: DataFrame | None = None
+        try:
+            for round_no in range(start_round, spec.max_rounds):
+                if frontier_count == 0:
+                    break
+                nxt, fetched, match_delta, records, metrics = self.run_round(
+                    round_no, frontier, matches, frontier_count=frontier_count
+                )
+                cleanup = getattr(self, "_pending_cleanup", [])
+                self._pending_cleanup = []
+                if pending is not None:
+                    self._finish_commit(pending, summary)
+                    # committed-state re-read truncates the matches
+                    # lineage to (multi-path committed scan) + (one
+                    # in-memory delta) — without it the union chain
+                    # would pin every prior round's checkpointed fetch
+                    matches = self.read_matches_cum(pending["round_no"])
+                    matches = matches.unionByName(match_delta)
+                write_parts = self._parts(frontier_count, 8192)
+                fetch_log = fetched.drop("bytes", "admitted", "caption").coalesce(
+                    write_parts
+                )
+                pending = self._start_commit(
+                    round_no,
+                    {
+                        "frontier": nxt,
+                        "fetch_log": fetch_log,
+                        # PER-ROUND DELTA: only this round's new matches
+                        # are written; cumulative state is the multi-path
+                        # read (read_matches_cum). Repartition, NOT
+                        # coalesce: coalesce(1) over the window plan
+                        # measured 6× slower than the explicit tiny
+                        # shuffle (it drags the window stage into the
+                        # single coalesced task)
+                        "matches": match_delta.repartition(write_parts),
+                        "records": records,
+                    },
+                    metrics,
+                    fetched,
+                    prev_fetched,
+                    cleanup,
+                    concurrent=frontier_count <= self.concurrent_commit_threshold,
+                )
+                prev_fetched = fetched
+                if round_no == start_round:
+                    # first iteration: no prior commit to fold at, so
+                    # the delta joins the pre-loop cumulative base here
+                    matches = matches.unionByName(match_delta)
+                # overlap the commit writes with the driver-mirror
+                # update (tiny collect over the checkpointed delta)...
+                if self._mirror_valid:
+                    new_ids = [
+                        r[0] for r in match_delta.select("seed_id").collect()
+                    ]
+                    self._matched_ids.update(new_ids)
+                    if len(self._matched_ids) > self.matched_mirror_limit:
+                        self._mirror_valid = False
+                        self._matched_ids = set()
+                        self._matched_df_n = None
+                # ...and with the next-frontier count (explode over the
+                # checkpointed fetch — the count that used to be paid
+                # as manifest-footer latency on the critical path)
+                frontier = nxt
+                frontier_count = nxt.count()
+            if pending is not None:
+                self._finish_commit(pending, summary)
+                pending["fetched"].unpersist()
+                pending = None
+        finally:
+            if pending is not None:  # exception path: never leak the thread
+                pending["thread"].join()
         return summary
