@@ -121,6 +121,11 @@ def main():
         crawl_runs.append(bench_crawl(spark, partitions=cpus))
         trial_secs["crawl_3rounds"].append(crawl_runs[-1]["sec"])
 
+    # Estimator: best-of-N (the shared host swings 2-3x between
+    # windows). METHODOLOGY (ADVICE r4): cross-round comparisons must
+    # be like-for-like — r1-r3 records are single-trial, r4+ are
+    # best-of-2; every raw trial is retained in trial_secs so either
+    # estimator can be recomputed (first element = first trial).
     timings = {name: min(secs) for name, secs in trial_secs.items()}
     crawl = min(crawl_runs, key=lambda c: c["sec"])
 

@@ -232,11 +232,22 @@ class CheckpointStore:
         rounds = self._committed_rounds()
         if upto is not None:
             if rounds and upto < rounds[0]:
-                raise ValueError(
-                    f"round {upto} was expired (oldest retained snapshot "
-                    f"is {rounds[0]}) — no time travel below an expired "
-                    "snapshot"
-                )
+                # below the oldest committed round: an ERROR only when
+                # that round is actually a compaction base for this
+                # table (expiry really dropped history below it). On a
+                # store expire_snapshots never touched, rounds below
+                # the first commit simply have no deltas — e.g.
+                # upto=-1 on a fresh store — and the honest answer is
+                # the empty list, not a claim of expiry (ADVICE r4).
+                if name in self.read_manifest(rounds[0]).get(
+                    "base_tables", []
+                ):
+                    raise ValueError(
+                        f"round {upto} was expired (oldest retained "
+                        f"snapshot is {rounds[0]}) — no time travel "
+                        "below an expired snapshot"
+                    )
+                return []
             rounds = [r for r in rounds if r <= upto]
         # scan newest-first and stop at the base: manifests below it
         # are never opened, so the per-call metadata cost is O(rounds

@@ -103,10 +103,15 @@ def _render_record(row, date: str) -> bytes:
         # NULL payload vs genuinely-empty payload both frame as
         # Content-Length: 0 — the marker preserves the distinction
         ("WARC-X-Null-Payload", "1" if row.bytes is None else ""),
-        # caption is arbitrary text: header values must be one line,
-        # so it travels percent-encoded (latin-1-safe, reversible)
-        ("WARC-X-Caption", _encode_header(row.caption)),
     ]
+    if row.caption is not None:
+        # caption is arbitrary text: header values must be one line,
+        # so it travels percent-encoded (latin-1-safe, reversible).
+        # A NULL caption OMITS the header entirely (the reader maps a
+        # missing header back to None) — encoding None as an empty
+        # header collapsed NULL and "" into the same byte stream,
+        # unlike the payload's explicit null marker (ADVICE r4).
+        headers.append(("WARC-X-Caption", _encode_header(row.caption)))
     head = b"WARC/1.0\r\n" + b"".join(
         f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
     )
@@ -352,7 +357,14 @@ def parse_warc_member(blob: bytes) -> list[dict]:
                 "h": _int("warc-x-height"),
                 "fmt": _decode_header(hdr.get("warc-x-image-format", ""))
                 or None,
-                "caption": _decode_header(hdr.get("warc-x-caption", "")),
+                # missing header = NULL caption (the writer omits it
+                # for None); present-but-empty decodes to "" — the
+                # same null/empty distinction the payload marker keeps
+                "caption": (
+                    _decode_header(hdr["warc-x-caption"])
+                    if "warc-x-caption" in hdr
+                    else None
+                ),
                 "phash": _int("warc-x-phash"),
             }
         )

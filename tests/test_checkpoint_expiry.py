@@ -33,6 +33,23 @@ def _crawl(spark, spec, seeds):
     return eng, root
 
 
+def test_delta_paths_below_first_commit_without_expiry(spark, deep_spec):
+    """On a store expire_snapshots never touched, an upto below the
+    oldest committed round has no deltas — the answer is empty, not a
+    claim that the round 'was expired' (ADVICE r4). After a real
+    expiry, the same call IS the explicit error."""
+    seeds = syn.seed_urls(deep_spec.web, 6)
+    eng, root = _crawl(spark, deep_spec, seeds)
+    try:
+        assert eng.store.delta_table_paths("matches", upto=-1) == []
+        assert eng.read_matches_cum(-1).count() == 0
+        eng.store.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            eng.store.delta_table_paths("matches", upto=0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_expire_keeps_cumulative_matches_exact(spark, deep_spec):
     seeds = syn.seed_urls(deep_spec.web, 10)
     eng, root = _crawl(spark, deep_spec, seeds)

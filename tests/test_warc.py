@@ -217,6 +217,25 @@ def test_warc_reader_ignores_crash_leftover_tmps(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_warc_null_vs_empty_caption_distinct(spark):
+    """caption=None and caption='' are distinct after a round trip:
+    None omits the WARC-X-Caption header, '' writes it empty."""
+    rows = [("a", bytearray(b"x"), 1, 1, "png", None, 1),
+            ("b", bytearray(b"y"), 1, 1, "png", "", 2)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    root = tempfile.mkdtemp(prefix="warc_nullcap_")
+    try:
+        assert write_warc(df, root) == 2
+        got = {r.image_id: r.caption for r in read_warc(spark, root).collect()}
+        assert got == {"a": None, "b": ""}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_warc_null_vs_empty_payload_and_unicode_ids(spark):
     """bytes=b'' and bytes=NULL are distinct after a round trip, and
     arbitrary (non-latin-1, CRLF-bearing) image ids / fmts survive."""
@@ -238,7 +257,11 @@ def test_warc_null_vs_empty_payload_and_unicode_ids(spark):
         assert set(got) == {r[0] for r in rows}
         assert bytes(got["empty"].bytes) == b""  # empty, NOT null
         assert got["null"].bytes is None  # null, NOT empty
-        assert got["null"].caption is None or got["null"].caption == ""
+        # NULL caption omits the header entirely and reads back as
+        # NULL — not collapsed to "" (ADVICE r4); empty-string caption
+        # keeps an empty header and reads back as ""
+        assert got["null"].caption is None
+        assert got["empty"].caption == "cap-empty"
         nasty = got["img—ünïcode\r\nWARC-Type: evil"]
         assert bytes(nasty.bytes) == b"\x05"
         assert nasty.fmt == "fmt\r\nX: y"
