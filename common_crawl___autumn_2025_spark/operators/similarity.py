@@ -219,11 +219,62 @@ def ann_topk(
     )
 
 
-@register("v03_ann_lsh_bucketed")  # Spark-only; recall asserted in tests
+def _v03_oracle_sql() -> str:
+    """Full VALUE oracle for the hyperplane LSH: the plane stack is
+    deterministic (seeded PCG64), so every bucket code is a sum of
+    dot-product sign bits — unrolled into DuckDB SQL with the 3072
+    plane coefficients inlined as double literals (same technique as
+    g02's unrolled PageRank). Bit-for-bit safe because both engines
+    compute the dots in float64 and the sign threshold is strict >0
+    (a flip would need |dot| ~ 1e-13 against O(1) coefficients)."""
+    planes = hyperplanes(dim=64)
+    vals = ",".join(
+        f"({t},{p},[" + ",".join(repr(x) for x in planes[t, p]) + "]::DOUBLE[])"
+        for t in range(N_TABLES)
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(tbl, p, pl) AS (SELECT * FROM (VALUES {vals})),
+    b AS (
+      SELECT c.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_dot_product(c.v, pl.pl) > 0
+                           THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END)
+                  AS INT) AS bucket
+      FROM c CROSS JOIN planes pl
+      GROUP BY c.vec_id, pl.tbl
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS hit_id
+      FROM b cb JOIN q ON cb.tbl = q.tbl AND cb.bucket = q.bucket
+                       AND cb.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.hit_id,
+             floor(list_dot_product(qc.v, cc.v) /
+                   (sqrt(list_dot_product(qc.v, qc.v)) *
+                    sqrt(list_dot_product(cc.v, cc.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine
+      FROM cand
+      JOIN c qc ON qc.vec_id = cand.query_id
+      JOIN c cc ON cc.vec_id = cand.hit_id
+    )
+    SELECT query_id, hit_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, hit_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("v03_ann_lsh_bucketed", _v03_oracle_sql())
 def v03_ann_lsh_bucketed(spark, sf_dir):
     """ANN via multi-table random-hyperplane LSH — the 10^10-scale
     variant of v01. tests/test_dedup_similarity.py measures recall ≈ 1
-    on planted near-duplicates (the property LSH actually promises)."""
+    on planted near-duplicates (the property LSH actually promises);
+    the DuckDB oracle (``_v03_oracle_sql``) additionally value-checks
+    the full bucket/candidate/re-rank pipeline."""
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplanes(dim=64)
     q = emb.where(F.col("vec_id") < N_QUERIES)

@@ -133,9 +133,46 @@ def t04_fingerprint_md5(spark, sf_dir):
     )
 
 
-@register("t05_rolling_fingerprint")  # custom hash — pytest-validated
+def _t05_oracle_sql() -> str:
+    """Full VALUE oracle for the rolling fingerprint: the base-257
+    window-8 polynomial mod 2^61-1 is pure integer arithmetic, so
+    each window hash unrolls to an 8-term HUGEINT sum (the per-step
+    modular reduction in the Python implementation is equivalent to
+    one final ``%`` — mod distributes over the polynomial). Both
+    engines iterate UNICODE CODEPOINTS (Python ``ord`` == DuckDB
+    ``ord`` over character-indexed ``substr``); sub-window docs are
+    NUL-padded to 8 on both sides; NULL text yields NULL fp via the
+    left join."""
+    mod = (1 << 61) - 1
+    terms = " + ".join(
+        f"ord(substr(w.s, w.i + {j}, 1))::HUGEINT * {pow(257, 7 - j)}::HUGEINT"
+        for j in range(8)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN text
+                  ELSE rpad(text, 8, chr(0)) END AS s
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT doc_id, s,
+             unnest(generate_series(1, length(s) - 7)) AS i
+      FROM d
+    ),
+    win AS (SELECT w.doc_id, CAST(({terms}) % {mod} AS BIGINT) AS h FROM w),
+    fps AS (SELECT doc_id, min(h) AS fp FROM win GROUP BY doc_id)
+    SELECT doc.doc_id, fps.fp
+    FROM documents doc LEFT JOIN fps ON doc.doc_id = fps.doc_id
+    ORDER BY doc.doc_id
+    """
+
+
+@register("t05_rolling_fingerprint", _t05_oracle_sql())
 def t05_rolling_fingerprint(spark, sf_dir):
-    """Winnowing-style rolling-hash fingerprint (Arrow UDF)."""
+    """Winnowing-style rolling-hash fingerprint (Arrow UDF); the
+    DuckDB oracle (``_t05_oracle_sql``) value-checks every window
+    hash via the unrolled polynomial."""
     from ..functions.text import rolling_fingerprint_udf
 
     return (
