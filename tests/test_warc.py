@@ -135,6 +135,52 @@ def test_warc_corruption_raises_value_error():
         parse_warc_member(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n")
 
 
+def test_cdx_cluster_corpus_wide_lookup(spark):
+    """Corpus-wide cluster index (Common Crawl cluster.idx pattern):
+    a point lookup touches only the O(1) index partitions whose key
+    range covers the id — NOT one CDX file per archive — and the
+    located record round-trips bytes + caption exactly. Unknown ids
+    answer None without touching any archive."""
+    import json
+    import os as _os
+
+    from common_crawl___autumn_2025_spark.sources.warc import (
+        _cluster_candidates,
+        build_cdx_cluster,
+        lookup_cdx,
+        lookup_warc_record,
+    )
+
+    recs = syn.records_df(spark, 60, partitions=6)  # 6 archives
+    want = {
+        r.image_id: (bytes(r.bytes), r.caption) for r in recs.collect()
+    }
+    root = tempfile.mkdtemp(prefix="warc_cluster_")
+    try:
+        assert write_warc(recs, root, cdx=True) == 60
+        out = build_cdx_cluster(spark, root, partitions=4)
+        assert out["rows"] == 60 and out["files"] >= 2
+        with open(_os.path.join(root, "cdx-cluster", "cluster.json")) as fh:
+            cluster = json.load(fh)
+        # prefix index is sorted and non-overlapping across files
+        firsts = [e["first"] for e in cluster["files"]]
+        assert firsts == sorted(firsts)
+        for a, b in zip(cluster["files"], cluster["files"][1:]):
+            assert a["last"] <= b["first"]
+        for image_id, (wb, wc) in want.items():
+            # O(1) partitions touched: every key range-resolves to at
+            # most 2 of the index files (boundary keys), usually 1
+            cands = _cluster_candidates(cluster, image_id)
+            assert 1 <= len(cands) <= 2
+            rows = lookup_cdx(root, image_id)
+            assert len(rows) == 1
+            got = lookup_warc_record(root, image_id)
+            assert got["bytes"] == wb and got["caption"] == wc
+        assert lookup_warc_record(root, "no-such-id") is None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_cdx_index_point_lookup(spark):
     """CDX index: every record point-reads back exactly via its
     (file, offset, length) triple, and the digest column matches the
