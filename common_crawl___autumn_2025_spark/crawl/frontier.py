@@ -434,6 +434,8 @@ class CrawlEngine:
                     return cache[h]
 
             def flags(pdf):
+                from .robots import robots_decision
+
                 ok, delay = [], []
                 for url, host in zip(pdf["url"], pdf["host"]):
                     disallow, d = lookup(host)
@@ -443,7 +445,10 @@ class CrawlEngine:
                     rest = url.split("://", 1)[1] if "://" in url else url
                     path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
                     path = path.split("?", 1)[0]
-                    ok.append(not any(path.startswith(p) for p in disallow))
+                    # RFC 9309 longest-match over encoded Allow ("!")
+                    # + Disallow rules; identical to the historical
+                    # prefix check for allow-free rule sets
+                    ok.append(robots_decision(disallow, path))
                     delay.append(float(d))
                 return pd.DataFrame(
                     {
@@ -484,15 +489,16 @@ class CrawlEngine:
             return df.mapInPandas(
                 flags, schema=schema_fields + ", " + ROBOTS_FLAGS_SCHEMA
             )
+        from .robots import robots_allowed_expr
+
         joined = df.join(F.broadcast(self.robots), on=["host"], how="left")
         path = F.regexp_replace(
             F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)?$", 1),
             r"\?.*$",
             "",
         )
-        ok = F.col("disallow").isNull() | ~F.exists(
-            F.col("disallow"),
-            lambda d: F.startswith(F.coalesce(path, F.lit("/")), d),
+        ok = robots_allowed_expr(
+            F.col("disallow"), F.coalesce(path, F.lit("/"))
         )
         return (
             joined.withColumn("__robots_ok", ok)

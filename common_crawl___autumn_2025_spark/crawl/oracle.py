@@ -38,14 +38,29 @@ class OracleResult:
     rounds: int = 0
 
 
-def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
-    res = OracleResult()
-    robots = {}
+def crawl(
+    spec: CrawlSpec, seeds: list[str], robots: dict | None = None
+) -> OracleResult:
+    """``robots``: optional ``{host: (rules, crawl_delay)}`` override
+    (the engine's dict-mode shape; rules may carry ``!``-encoded
+    Allow entries) — defaults to the synthetic web's per-host rules.
+    Missing hosts fall back to ((), 1.0), matching the engine."""
+    from .robots import robots_decision
 
-    def robots_for(host: str):
-        if host not in robots:
-            robots[host] = syn.robots_for_host(spec.web, host)
-        return robots[host]
+    res = OracleResult()
+    if robots is not None:
+        robots_table = robots
+
+        def robots_for(host: str):
+            return robots_table.get(host, ((), 1.0))
+
+    else:
+        cache: dict = {}
+
+        def robots_for(host: str):
+            if host not in cache:
+                cache[host] = syn.robots_for_host(spec.web, host)
+            return cache[host]
 
     # frontier rows:
     # (url, surt, host, depth, priority, parent_url, seed_id, retry_count)
@@ -94,7 +109,7 @@ def crawl(spec: CrawlSpec, seeds: list[str]) -> OracleResult:
             path = r[0].split("://", 1)[1]
             path = "/" + path.split("/", 1)[1] if "/" in path else "/"
             path = path.split("?", 1)[0]
-            if any(path.startswith(d) for d in disallow):
+            if not robots_decision(disallow, path):
                 continue
             by_host.setdefault(r[2], []).append(r)
 

@@ -131,20 +131,21 @@ def schedule(
     """Politeness-schedule a frontier against a robots config table.
 
     ``robots``: ``(host STRING, disallow ARRAY<STRING>, crawl_delay
-    DOUBLE)`` — small config, broadcast. Rows matching a disallow
-    path-prefix are dropped (robots exclusion); surviving rows get
+    DOUBLE)`` — small config, broadcast. Rules resolve via RFC 9309
+    longest-match (``robots.robots_allowed_expr``): plain entries are
+    Disallow prefixes, ``!``-prefixed entries are Allow (written by
+    ``parse_robots(allow_directives=True)``); for allow-free arrays
+    this is the plain prefix-exclusion check. Surviving rows get
     ``seq``, ``fetch_ts_offset``, ``batch_id``.
     """
+    from .robots import robots_allowed_expr
+
     joined = frontier.join(F.broadcast(robots), on=["host"], how="left")
     path = F.regexp_replace(
         F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)?$", 1), r"\?.*$", ""
     )
     allowed = joined.where(
-        F.col("disallow").isNull()
-        | ~F.exists(
-            F.col("disallow"),
-            lambda d: F.startswith(F.coalesce(path, F.lit("/")), d),
-        )
+        robots_allowed_expr(F.col("disallow"), F.coalesce(path, F.lit("/")))
     )
     seq = with_host_sequence(allowed, partitions=partitions, cleanup=cleanup)
     delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay_s))

@@ -23,9 +23,18 @@ Parsing implements the practical RFC 9309 subset the table schema
 can express: User-agent group selection (most-specific product-token
 match, ``*`` fallback, adjacent User-agent lines share a group,
 same-specificity groups merge), ``Disallow`` path prefixes and
-``Crawl-delay``. ``Allow`` lines are ignored — the schedule's
-disallow check is prefix-only, and ignoring Allow is strictly MORE
-conservative (never fetches something robots forbids).
+``Crawl-delay``. ``Allow`` lines are ignored BY DEFAULT — the
+reference-matching posture, strictly MORE conservative (never
+fetches something robots forbids). Pass ``allow_directives=True``
+(parse_robots / build_robots_table) for RFC 9309 longest-match
+semantics: Allow rules are encoded into the same ``disallow`` array
+with a ``!`` prefix (path patterns always start with ``/``, so the
+marker is unambiguous and the table schema is unchanged), and every
+consumer — ``robots_decision`` (Python probe path),
+``robots_allowed_expr`` (declarative join path) — resolves a path
+against the LONGEST matching rule, Allow winning ties (RFC 9309
+§2.2.2 "least restrictive"). Wildcards (``*``/``$``) are not
+implemented; patterns are literal prefixes, as before.
 
 The transport seam is the same injectable callable as
 ``fetchers.HttpFetcher`` (``(url, timeout=..., headers=...) ->
@@ -44,16 +53,65 @@ ROBOTS_SCHEMA = "host string, disallow array<string>, crawl_delay double"
 DEFAULT_AGENT = "spark-crawl-engine"
 
 
+def robots_decision(rules, path: str) -> bool:
+    """True if ``path`` is fetchable under an encoded rule array
+    (plain entries = Disallow prefixes, ``!``-prefixed = Allow).
+    RFC 9309 longest-match: the longest matching rule decides; a tie
+    goes to Allow (least restrictive); no matching Disallow = allow.
+    For an allow-free array this reduces exactly to the historical
+    ``not any(path.startswith(d))`` check, so it is safe as the
+    single decision function on every probe path."""
+    best_dis = -1
+    best_alw = -1
+    for r in rules or ():
+        if r.startswith("!"):
+            p = r[1:]
+            if path.startswith(p) and len(p) > best_alw:
+                best_alw = len(p)
+        elif path.startswith(r) and len(r) > best_dis:
+            best_dis = len(r)
+    return best_dis < 0 or best_alw >= best_dis
+
+
+def robots_allowed_expr(rules_col, path_col):
+    """``robots_decision`` as a pure Catalyst expression over an
+    encoded rules ARRAY column — the declarative twin used by the
+    politeness join path (no Python worker). NULL rules = allow."""
+    dis = F.filter(
+        rules_col,
+        lambda d: (~F.startswith(d, F.lit("!")))
+        & F.startswith(path_col, d),
+    )
+    alw = F.filter(
+        rules_col,
+        lambda d: F.startswith(d, F.lit("!"))
+        & F.startswith(path_col, F.substring(d, 2, 1 << 30)),
+    )
+    best_dis = F.array_max(F.transform(dis, lambda d: F.length(d)))
+    best_alw = F.array_max(F.transform(alw, lambda d: F.length(d) - 1))
+    return (
+        rules_col.isNull()
+        | best_dis.isNull()
+        | (best_alw.isNotNull() & (best_alw >= best_dis))
+    )
+
+
 def parse_robots(
-    text: str, user_agent: str = DEFAULT_AGENT
+    text: str,
+    user_agent: str = DEFAULT_AGENT,
+    allow_directives: bool = False,
 ) -> tuple[list[str], float | None]:
-    """(disallow prefixes, crawl_delay | None) for ``user_agent``.
+    """(rule prefixes, crawl_delay | None) for ``user_agent``.
 
     Group selection: the group whose User-agent token is the longest
     match against our product token wins; ``*`` matches with the
     lowest specificity; groups with equal specificity merge (RFC 9309
     combinability). An unmatched agent, or an empty/malformed file,
-    yields ([], None) — no restrictions, default delay."""
+    yields ([], None) — no restrictions, default delay.
+
+    ``allow_directives=True`` additionally records Allow lines as
+    ``!``-prefixed entries for ``robots_decision`` longest-match;
+    the default keeps the historical ignore-Allow posture."""
     agent = user_agent.split("/", 1)[0].strip().lower()
     records: list[tuple[list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
@@ -83,7 +141,11 @@ def parse_robots(
             if cur_agents and val:  # empty Disallow: == allow all
                 cur_dis.append(val)
         elif key == "allow":
-            in_rules = True  # group-structural only; Allow is ignored
+            in_rules = True  # ignored unless allow_directives
+            # a path pattern starts with "/" (RFC 9309 §2.2.2), which
+            # keeps the "!" encoding collision-free
+            if allow_directives and cur_agents and val.startswith("/"):
+                cur_dis.append("!" + val)
         elif key == "crawl-delay":
             in_rules = True
             if cur_agents:
@@ -124,6 +186,7 @@ def build_robots_table(
     timeout_s: float = 10.0,
     user_agent: str = DEFAULT_AGENT,
     strict_5xx: bool = False,
+    allow_directives: bool = False,
 ) -> DataFrame:
     """Distributed robots table from live ``/robots.txt`` fetches.
 
@@ -164,7 +227,9 @@ def build_robots_table(
                 except Exception:  # noqa: BLE001 — drop semantics
                     pass
                 if text is not None:
-                    dis, delay = parse_robots(text, user_agent)
+                    dis, delay = parse_robots(
+                        text, user_agent, allow_directives=allow_directives
+                    )
                     rows.append(
                         {"host": host, "disallow": dis, "crawl_delay": delay}
                     )
@@ -211,9 +276,13 @@ class SyntheticRobotsTransport:
 def render_robots(disallow: list[str], crawl_delay: float | None) -> str:
     """Serialize rules as a robots.txt body (the synthetic robots
     server in tests round-trips ``synthetic.robots_for_host`` through
-    this and ``parse_robots``)."""
+    this and ``parse_robots``). ``!``-encoded entries render as
+    Allow lines, so encoded rule arrays round-trip too."""
     lines = ["User-agent: *"]
-    lines += [f"Disallow: {d}" for d in disallow]
+    lines += [
+        f"Allow: {d[1:]}" if d.startswith("!") else f"Disallow: {d}"
+        for d in disallow
+    ]
     if crawl_delay is not None:
         lines.append(f"Crawl-delay: {crawl_delay}")
     return "\n".join(lines) + "\n"

@@ -6,6 +6,8 @@ from common_crawl___autumn_2025_spark.crawl.robots import (
     build_robots_table,
     parse_robots,
     render_robots,
+    robots_allowed_expr,
+    robots_decision,
 )
 
 
@@ -204,6 +206,137 @@ def test_schedule_with_built_table_matches(spark):
     for df in cleanup:
         df.unpersist()
     assert a == b and len(a) == 100  # /private row excluded in both
+
+
+def test_parse_allow_directives_flag():
+    """Default posture ignores Allow (reference-matching); the flag
+    encodes Allow lines as '!'-prefixed entries for longest-match."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/area\n"
+        "Allow: notapath\n"  # RFC patterns start with '/': dropped
+    )
+    assert parse_robots(body) == (["/private"], None)
+    dis, _ = parse_robots(body, allow_directives=True)
+    assert dis == ["/private", "!/private/area"]
+    # render/parse round-trips the encoding
+    dis2, _ = parse_robots(render_robots(dis, None), allow_directives=True)
+    assert dis2 == dis
+
+
+def test_robots_decision_longest_match():
+    rules = ["/private", "!/private/area"]
+    assert not robots_decision(rules, "/private/x")
+    assert robots_decision(rules, "/private/area")  # longer Allow wins
+    assert robots_decision(rules, "/private/area/deep")
+    assert robots_decision(rules, "/public")  # no match = allow
+    assert robots_decision(None, "/anything")
+    # tie goes to Allow (RFC 9309 least-restrictive)
+    assert robots_decision(["/p", "!/p"], "/p/x")
+    # a LONGER Disallow beats a shorter Allow
+    assert not robots_decision(["!/a", "/a/b"], "/a/b/c")
+    # allow-free arrays reduce to the historical prefix check
+    assert robots_decision(["/legal"], "/about")
+    assert not robots_decision(["/legal"], "/legal/tos")
+
+
+def test_robots_allowed_expr_matches_python_decision(spark):
+    """The declarative Catalyst expression and the Python probe-path
+    function agree on every (rules, path) combination."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    rule_sets = [
+        None,
+        [],
+        ["/private"],
+        ["/private", "!/private/area"],
+        ["/p", "!/p"],
+        ["!/a", "/a/b"],
+        ["/x", "/x/y", "!/x/y/z"],
+    ]
+    paths = ["/", "/private", "/private/area", "/private/area/d",
+             "/p/x", "/a/b/c", "/x/y/z/w", "/x/y/q"]
+    rows = [(i, rs, p) for i, (rs, p) in
+            enumerate(itertools.product(rule_sets, paths))]
+    df = spark.createDataFrame(
+        rows, "id int, rules array<string>, path string"
+    )
+    got = {
+        r.id: r.ok
+        for r in df.select(
+            "id", robots_allowed_expr(F.col("rules"), F.col("path")).alias("ok")
+        ).collect()
+    }
+    for i, rs, p in rows:
+        assert got[i] == robots_decision(rs, p), (rs, p)
+
+
+def test_allow_directive_replay_equality(spark):
+    """Engine with an Allow-bearing robots table reproduces the
+    oracle given the same rules — in BOTH robots modes (broadcast
+    dict and declarative join) — and actually fetches the allowed-
+    within-disallowed page the ignore-Allow posture would skip."""
+    import shutil
+    import tempfile
+
+    from common_crawl___autumn_2025_spark.crawl import oracle
+    from common_crawl___autumn_2025_spark.crawl.frontier import (
+        CrawlEngine,
+        CrawlSpec,
+    )
+
+    spec = CrawlSpec(web=syn.WebConfig(n_hosts=8), max_depth=1, max_rounds=2)
+    hosts = [syn.host_name(spec.web, i) for i in range(8)]
+    seeds = syn.seed_urls(spec.web, 8) + [
+        f"http://{hosts[0]}/private/area",  # allowed by the Allow rule
+        f"http://{hosts[0]}/private/x",  # still disallowed
+        f"http://{hosts[1]}/private/area",  # host without Allow: dropped
+    ]
+    rules = {}
+    for i, h in enumerate(hosts):
+        dis, delay = syn.robots_for_host(spec.web, h)
+        enc = list(dis) + (["!/private/area"] if i == 0 else [])
+        rules[h] = (tuple(enc), float(delay))
+    want = oracle.crawl(spec, seeds, robots=rules)
+    surts = {r[3] for r in want.fetch_log}
+    from common_crawl___autumn_2025_spark.canonical import surt as surt_of
+
+    assert surt_of(f"http://{hosts[0]}/private/area") in surts
+    assert surt_of(f"http://{hosts[0]}/private/x") not in surts
+    assert surt_of(f"http://{hosts[1]}/private/area") not in surts
+
+    robots_df = spark.createDataFrame(
+        [(h, list(r[0]), r[1]) for h, r in rules.items()],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+
+    def engine_log(dict_limit=None):
+        root = tempfile.mkdtemp(prefix="crawl_allow_")
+        old = CrawlEngine.robots_dict_limit
+        try:
+            if dict_limit is not None:  # force the join mode
+                CrawlEngine.robots_dict_limit = dict_limit
+            eng = CrawlEngine(
+                spark, spec, root, robots=robots_df, partitions=4
+            )
+            assert (eng.robots is None) == (dict_limit is None)
+            eng.run(seeds)
+            return sorted(
+                (row.round, row.host, row.seq, row.surt, row.url, row.depth,
+                 row.seed_id, row.status, row.fetch_ts_offset,
+                 row.target_number)
+                for r in range(eng.store.latest_round() + 1)
+                for row in eng.store.read_table(r, "fetch_log").collect()
+            )
+        finally:
+            CrawlEngine.robots_dict_limit = old
+            shutil.rmtree(root, ignore_errors=True)
+
+    assert engine_log() == sorted(want.fetch_log)  # dict mode
+    assert engine_log(dict_limit=0) == sorted(want.fetch_log)  # join mode
 
 
 def test_parse_robots_never_crashes_on_arbitrary_text():
