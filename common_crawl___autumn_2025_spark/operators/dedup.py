@@ -5,8 +5,9 @@ Five dedup families, each a ``queries()`` entry:
 - exact (hash groupBy) — oracle-checked;
 - shingle Jaccard (3-gram, exact) — oracle-checked, integer-ratio
   threshold;
-- MinHash + LSH banding — Spark-only (xxhash64 has no DuckDB twin);
-  validated by pytest against exact Jaccard (candidates ⊇ true pairs);
+- MinHash + LSH banding — oracle-checked (Spark's xxhash64 unrolled
+  into DuckDB SQL, see ``functions/xxh64_sql.py``) AND validated by
+  pytest against exact Jaccard (candidates ⊇ true pairs);
 - SimHash — Arrow-vectorized pandas UDF; pytest hamming properties;
 - embedding-cosine near-dup lives in ``similarity.py``.
 
@@ -23,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.xxh64_sql import xxh64_ctes
 from ..plans import load, register
 
 N_HASHES = 32          # minhash signature length
@@ -478,11 +480,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     # product range is NOT uniform — the min then just tracks the
     # smallest base hash and signatures degenerate; caught by the
     # planted-duplicate tests.) Base hash = low 31 bits of xxhash64.
-    mod = np.uint64((1 << 31) - 1)
+    a, b, m = _minhash_family(n_hashes)
+    mod = np.uint64(m)
     mask31 = np.uint64(0x7FFFFFFF)
-    g = np.random.Generator(np.random.PCG64(0xC0FFEE))
-    a = g.integers(1, int(mod), size=n_hashes, dtype=np.uint64)
-    b = g.integers(0, int(mod), size=n_hashes, dtype=np.uint64)
     # bound the (n_hashes x chunk_shingles) work matrix to ~50 MB
     chunk_shingles = 200_000
 
@@ -576,11 +576,79 @@ def lsh_candidates(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-@register("d03_minhash_lsh")  # Spark-only: xxhash64 has no DuckDB equivalent
+def _minhash_family(n_hashes: int = N_HASHES):
+    """The universal-family coefficients (a_k, b_k) d03 uses —
+    deterministic (PCG64 seed 0xC0FFEE), shared by the engine and
+    the SQL oracle so both see the identical permutations."""
+    mod = (1 << 31) - 1
+    g = np.random.Generator(np.random.PCG64(0xC0FFEE))
+    a = g.integers(1, mod, size=n_hashes, dtype=np.uint64)
+    b = g.integers(0, mod, size=n_hashes, dtype=np.uint64)
+    return a, b, mod
+
+
+def _d03_oracle_sql() -> str:
+    """Full DuckDB value oracle for d03 — every stage in SQL.
+
+    The one piece DuckDB lacks, Spark's ``xxhash64``, is unrolled
+    into HUGEINT CTE chains by ``functions/xxh64_sql.py`` (bit-exact
+    against the JVM via the pinned Python mirror); the universal
+    hash family's 32 (a, b) pairs are inlined as literals from the
+    same seeded generator the engine uses.  Shingling replicates
+    ``_shingles`` (d02's proven SQL), signatures are 32 ``min()``
+    aggregates, banding concatenates signature pairs exactly like
+    the engine's ``concat_ws(',', ...)`` and rehashes them, and
+    candidates come from the same (band, bucket) self-join."""
+    a, b, mod = _minhash_family()
+    sh_ctes, sh_final = xxh64_ctes("dsh", "shing", ["doc_id"])
+    bd_ctes, bd_final = xxh64_ctes("dbb", "bands", ["doc_id", "band"])
+    mins = ",\n      ".join(
+        f"min(({int(a[k])}*h31 + {int(b[k])}) % {mod}) AS s{k}"
+        for k in range(N_HASHES)
+    )
+    rpb = N_HASHES // N_BANDS
+    band_structs = ", ".join(
+        "{'band': %d, 's': %s}"
+        % (
+            bnd,
+            " || ',' || ".join(
+                f"CAST(s{bnd * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for bnd in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    shing AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(l) >= 3
+             THEN list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+             ELSE [l[1]] END) AS s
+      FROM toks
+    ),
+    {sh_ctes},
+    hv AS (SELECT doc_id, CAST(h % 2147483648 AS BIGINT) AS h31
+           FROM {sh_final}),
+    sigs AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id),
+    bstructs AS (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sigs),
+    bands AS (SELECT doc_id, bb.band AS band, bb.s AS s FROM bstructs),
+    {bd_ctes}
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM {bd_final} x JOIN {bd_final} y
+      ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("d03_minhash_lsh", _d03_oracle_sql())
 def d03_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
     join). The scale path for d02: candidates are O(collisions), not
-    O(n²); verified against exact Jaccard in tests/test_dedup.py."""
+    O(n²); verified against exact Jaccard in tests/test_dedup.py AND
+    by a full DuckDB value oracle (xxhash64 unrolled to SQL)."""
     docs = load(spark, sf_dir, "documents")
     # pin the signatures: the band self-join reads them twice
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)

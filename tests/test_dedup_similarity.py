@@ -1,5 +1,6 @@
-"""Properties of the Spark-only (non-SQL-oracle) operators: MinHash
-LSH, SimHash, random-hyperplane ANN, rolling fingerprints."""
+"""Properties of the sketch/similarity operators: MinHash LSH (plus
+its SQL-unrolled xxhash64 oracle), SimHash, random-hyperplane ANN,
+rolling fingerprints."""
 
 import numpy as np
 import pytest
@@ -424,3 +425,75 @@ def test_e05_image_curation_drops_planted_twins(spark):
     for row in comps:
         if row.doc_id >= E05_TWIN_OFFSET:  # a caught twin...
             assert row.component == row.doc_id - E05_TWIN_OFFSET
+
+
+def test_duckdb_xxh64_matches_python():
+    """The SQL-unrolled XXH64 (d03's oracle primitive) is bit-equal
+    to the Python mirror (itself pinned against Spark's xxhash64 by
+    test_python_xxh64_matches_spark) across every length class:
+    empty, byte tail, 4-byte chunk, 8-byte chunks, and multi-stripe
+    inputs crossing the 32-byte boundary."""
+    import random
+
+    import duckdb
+
+    from common_crawl___autumn_2025_spark.crawl.hashing import xxh64_str
+    from common_crawl___autumn_2025_spark.functions.xxh64_sql import (
+        xxh64_ctes,
+    )
+
+    rng = random.Random(7)
+    strs = [""]
+    for n in list(range(1, 40)) + [63, 64, 65, 95, 96, 97, 127, 128, 200]:
+        strs.append("".join(chr(rng.randint(32, 126)) for _ in range(n)))
+    strs += ["2147483647,2147483647", "a b c", "tok1 tok2 tok3"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(sid INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strs)))
+    ctes, final = xxh64_ctes("hx", "t", ["sid"])
+    rows = con.sql(
+        f"WITH {ctes} SELECT sid, h FROM {final} ORDER BY sid"
+    ).fetchall()
+    assert len(rows) == len(strs)
+    for sid, h in rows:
+        assert int(h) == xxh64_str(strs[sid]), (sid, strs[sid])
+
+
+def test_d03_oracle_matches_engine(spark, near_dup_docs):
+    """The full d03 DuckDB oracle (shingle→xxh64→minhash→band→join,
+    all in SQL) returns the IDENTICAL candidate-pair set as the Spark
+    engine on the planted-near-dup corpus plus token-count edge cases
+    (empty text, 1/2-token docs, repeated separators)."""
+    import duckdb
+    import pandas as pd
+
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _d03_oracle_sql,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (2000, ""),
+            (2001, "one"),
+            (2002, "two toks"),
+            (2003, "a  b   c"),
+            (2004, "x y z w"),
+            (2005, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = near_dup_docs.unionByName(edge)
+    # ASCII precondition of the unicode()-as-byte oracle
+    pdf = docs.toPandas()
+    assert all(t is None or t.isascii() for t in pdf["text"])
+    engine = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(minhash_signatures(docs)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(pdf))
+    oracle = {(a, b) for a, b in con.sql(_d03_oracle_sql()).fetchall()}
+    assert engine == oracle
+    assert (2004, 2005) in engine  # identical docs always collide
