@@ -143,17 +143,17 @@ def xxh64_ctes(
         f" + {_P3}) % {_M}"
     )
     return (
-        f"""{p}0 AS (SELECT {k}, length({s_col}) AS n,
+        f"""{p}0 AS MATERIALIZED (SELECT {k}, length({s_col}) AS n,
       list_transform(string_split({s_col}, ''),
                      c -> CAST(unicode(c) AS HUGEINT)) AS bs
     FROM {src}),
-    {p}1 AS (SELECT {k}, n, bs,
+    {p}1 AS MATERIALIZED (SELECT {k}, n, bs,
       list_reduce(
         list_prepend({acc_init},
           list_transform(range(0, n//32), t -> {stripe_struct})),
         (A, X) -> {acc_step}) AS acc
     FROM {p}0),
-    {p}2 AS (SELECT {k}, n, bs,
+    {p}2 AS MATERIALIZED (SELECT {k}, n, bs,
       CASE WHEN n >= 32 THEN
         list_reduce(
           list_prepend(CAST(({h_from_acc}) AS HUGEINT),
@@ -161,24 +161,24 @@ def xxh64_ctes(
           (H, V) -> {merge_step})
       ELSE CAST({(seed + _P5) % _M} AS HUGEINT) END AS h0
     FROM {p}1),
-    {p}3 AS (SELECT {k}, n, bs,
+    {p}3 AS MATERIALIZED (SELECT {k}, n, bs,
       list_reduce(
         list_prepend(CAST((h0 + n) % {_M} AS HUGEINT),
           list_transform(range(0, (n%32)//8),
                          q -> {_u64('bs', '(n//32)*32 + q*8 + 1')})),
         (H, K) -> {chunk_step}) AS h2
     FROM {p}2),
-    {p}4 AS (SELECT {k}, n, bs,
+    {p}4 AS MATERIALIZED (SELECT {k}, n, bs,
       CASE WHEN n%8 >= 4 THEN {four_expr} ELSE h2 END AS h3
     FROM {p}3),
-    {p}5 AS (SELECT {k},
+    {p}5 AS MATERIALIZED (SELECT {k},
       list_reduce(list_prepend(h3, bs[n - n%4 + 1 : n]),
                   (H, C) -> {byte_step}) AS h4
     FROM {p}4),
-    {p}6 AS (SELECT {k}, {_mul(f"xor(h4, h4//{1 << 33})", _P2)} AS h5
+    {p}6 AS MATERIALIZED (SELECT {k}, {_mul(f"xor(h4, h4//{1 << 33})", _P2)} AS h5
     FROM {p}5),
-    {p}7 AS (SELECT {k}, {_mul(f"xor(h5, h5//{1 << 29})", _P3)} AS h6
+    {p}7 AS MATERIALIZED (SELECT {k}, {_mul(f"xor(h5, h5//{1 << 29})", _P3)} AS h6
     FROM {p}6),
-    {p}f AS (SELECT {k}, xor(h6, h6//{1 << 32}) AS h FROM {p}7)""",
+    {p}f AS MATERIALIZED (SELECT {k}, xor(h6, h6//{1 << 32}) AS h FROM {p}7)""",
         f"{p}f",
     )

@@ -6,8 +6,10 @@ rolling fingerprint (custom hash, pytest-validated).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.xxh64_sql import xxh64_ctes
 from ..plans import load, register
 
 # marker-word heuristic language ID (n-gram heuristic family;
@@ -179,5 +181,151 @@ def t05_rolling_fingerprint(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# -- training-mixture sampling & packing --------------------------------
+
+# per-language keep rates in basis points of 10^4: downsample the
+# dominant language, keep the tails — the mixture-rebalancing step a
+# multilingual training pipeline runs between scoring and packing
+SAMPLE_RATES_BP = {"en": 3000, "de": 8000, "es": 8000, "fr": 8000,
+                   "zh": 8000}
+SAMPLE_DEFAULT_BP = 5000
+_SIGNED64 = (
+    "CASE WHEN h >= 9223372036854775808 "
+    "THEN CAST(h - 18446744073709551616 AS BIGINT) "
+    "ELSE CAST(h AS BIGINT) END"
+)
+
+
+def _t06_oracle_sql() -> str:
+    """Value oracle for the hash-gate sampler: the gate is
+    ``pmod(xxhash64(doc_id), 10^4)`` — XXH64 comes from the SQL
+    unroll in ``functions/xxh64_sql.py``, converted to Spark's
+    signed view before the positive-mod so both engines gate on the
+    identical residue."""
+    hx, hf = xxh64_ctes("t6h", "base", ["doc_id", "lang"])
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}"
+        for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS s FROM documents
+    ),
+    {hx},
+    gated AS (
+      SELECT doc_id, lang,
+             (({_SIGNED64} % 10000) + 10000) % 10000 AS gate
+      FROM {hf}
+    )
+    SELECT doc_id, lang FROM gated
+    WHERE gate < CASE {cases} ELSE {SAMPLE_DEFAULT_BP} END
+    ORDER BY doc_id
+    """
+
+
+@register("t06_stratified_sample", _t06_oracle_sql())
+def t06_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by language: keep a doc iff
+    ``pmod(xxhash64(doc_id), 10^4) < rate_bp[lang]``.
+
+    The 100 TB shape is the whole point: the gate is a pure map-side
+    filter on a JVM hash of the key — NO shuffle, NO sample() RNG
+    (reproducible across runs, executors, and retries), NO
+    per-stratum pass; rebalancing a 100 TB multilingual corpus costs
+    one scan. Rates are per-stratum basis points (en downsampled,
+    tail languages kept at 80%)."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_BP)
+    for lang, bp in reversed(list(SAMPLE_RATES_BP.items())):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    gate = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(10000))
+    return (
+        docs.where(gate < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+PACK_BUCKETS = 8            # parallel packing streams (scale knob:
+                            # ~corpus_tokens / budget / packs_per_task)
+PACK_BUDGET_TOKENS = 2048   # context-window token budget per pack
+
+
+def _t07_oracle_sql() -> str:
+    hx, hf = xxh64_ctes("t7h", "base", ["doc_id"])
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    {hx},
+    keyed AS (
+      SELECT h.doc_id,
+             ((({_SIGNED64}) % {PACK_BUCKETS}) + {PACK_BUCKETS})
+               % {PACK_BUCKETS} AS bucket,
+             {_SIGNED64} AS hkey
+      FROM {hf} h
+    ),
+    cums AS (
+      SELECT k.doc_id, k.bucket, t.n_tokens,
+             SUM(t.n_tokens) OVER (
+               PARTITION BY k.bucket ORDER BY k.hkey, k.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM keyed k JOIN toks t ON k.doc_id = t.doc_id
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST((cum - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT)
+             AS pack_id,
+           n_tokens
+    FROM cums ORDER BY doc_id
+    """
+
+
+@register("t07_sequence_pack", _t07_oracle_sql())
+def t07_sequence_pack(spark, sf_dir):
+    """Concatenate-then-chunk shard assignment (sequence packing):
+    docs are dealt into ``PACK_BUCKETS`` deterministic hash streams,
+    ordered pseudo-randomly inside each stream (same xxhash64 key),
+    and cut into packs every ``PACK_BUDGET_TOKENS`` whitespace
+    tokens — ``pack_id = tokens_before_me // budget``, the standard
+    pretraining packing where the loader concatenates a stream and
+    splits at window boundaries.
+
+    100 TB shape: one shuffle on ``bucket`` + a window cumsum per
+    stream. The bucket count is the scale knob — size it so one
+    stream's packs fit a task (at 10^11 docs that is ~10^5 buckets,
+    not 8); the hash deal keeps streams balanced with no skew key
+    (the hash IS the partition key), and the whole assignment is
+    reproducible across runs and retries because nothing samples."""
+    docs = load(spark, sf_dir, "documents")
+    hkey = F.xxhash64(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        F.pmod(hkey, F.lit(PACK_BUCKETS)).cast("int").alias("bucket"),
+        hkey.alias("hkey"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).repartition(PACK_BUCKETS, "bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "bucket",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / PACK_BUDGET_TOKENS
+            ).cast("long").alias("pack_id"),
+            "n_tokens",
+        )
         .orderBy("doc_id")
     )
