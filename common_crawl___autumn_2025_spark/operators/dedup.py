@@ -655,16 +655,59 @@ def d03_minhash_lsh(spark, sf_dir):
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
 
 
-@register("d04_simhash")  # Spark-only: custom bit mixing, pytest-validated
+def _d04_oracle_sql() -> str:
+    """Full value oracle for the JVM SimHash: per-token XXH64 via the
+    SQL unroll (grouped by (doc, token) so each distinct token hashes
+    once, weighted by its count), bit votes as a 64-way cross join,
+    the signed fingerprint reassembled from winning bits. Empty-token
+    docs come back as 0 and NULL text as NULL via the final left
+    join — the same edge semantics as the engine expression."""
+    hx, hf = xxh64_ctes("d4h", "tokc", ["doc_id", "cnt"])
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tokc AS (
+      SELECT doc_id, tok AS s, CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    {hx},
+    votes AS (
+      SELECT f.doc_id, r.i,
+             SUM(f.cnt * (2 * ((f.h // CAST(POWER(2, r.i) AS HUGEINT)) % 2)
+                          - 1)) AS v
+      FROM {hf} f CROSS JOIN range(0, 64) r(i)
+      GROUP BY f.doc_id, r.i
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+               CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                    ELSE CAST(POWER(2, i) AS HUGEINT) END
+               ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(s.simhash, 0) END AS simhash
+    FROM documents d LEFT JOIN sims s USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("d04_simhash", _d04_oracle_sql())
 def d04_simhash(spark, sf_dir):
-    """64-bit SimHash per document via an Arrow-vectorized pandas UDF
-    (token-hash bit voting). Near-dup = small hamming distance;
-    properties tested in tests/test_dedup.py."""
-    from ..functions.text import simhash64_udf
+    """64-bit SimHash per document, computed entirely JVM-side: one
+    Catalyst expression (per-token ``xxhash64`` + ``zip_with`` bit
+    voting, ``functions/text.py:simhash64_sql_expr``) — no Python
+    workers, no shuffle, a pure map scan at 100 TB. Near-dup = small
+    hamming distance; bit-equal to the Python mirror (pytest) and to
+    the DuckDB oracle above."""
+    from ..functions.text import simhash64_sql_expr
 
     return (
         load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+        .selectExpr("doc_id", simhash64_sql_expr("text") + " AS simhash")
         .orderBy("doc_id")
     )

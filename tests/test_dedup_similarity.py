@@ -79,6 +79,46 @@ def test_minhash_signature_similarity_estimates_jaccard(spark, near_dup_docs):
     assert agree(0, 1) < 0.4
 
 
+def test_simhash_jvm_matches_python_and_oracle(spark):
+    """The d04 Catalyst expression, the Python mirror, and the DuckDB
+    SQL oracle all produce the same signed 64-bit fingerprint —
+    including the empty-text (0) and NULL-text (NULL) edges and a
+    multi-space text where split-and-drop-empties matters."""
+    import duckdb
+
+    from common_crawl___autumn_2025_spark.functions.text import (
+        simhash64_sql_expr,
+    )
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _d04_oracle_sql,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),
+        (3, None),
+        (4, "x  x x"),
+        (5, " ".join(f"tok{i % 17}" for i in range(300))),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    engine = {
+        r.doc_id: r.simhash
+        for r in sdf.selectExpr(
+            "doc_id", simhash64_sql_expr("text") + " AS simhash"
+        ).collect()
+    }
+    mirror = {
+        d: (None if t is None else simhash64(t)) for d, t in rows
+    }
+    assert engine == mirror
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(con.sql(_d04_oracle_sql()).fetchall())
+    assert engine == oracle
+
+
 def test_simhash_properties():
     doc = " ".join(f"w{i}" for i in range(50))
     one_off = " ".join(("XX" if i == 7 else f"w{i}") for i in range(50))
