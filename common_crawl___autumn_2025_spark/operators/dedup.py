@@ -655,16 +655,14 @@ def d03_minhash_lsh(spark, sf_dir):
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
 
 
-def _d04_oracle_sql() -> str:
-    """Full value oracle for the JVM SimHash: per-token XXH64 via the
-    SQL unroll (grouped by (doc, token) so each distinct token hashes
-    once, weighted by its count), bit votes as a 64-way cross join,
-    the signed fingerprint reassembled from winning bits. Empty-token
-    docs come back as 0 and NULL text as NULL via the final left
-    join — the same edge semantics as the engine expression."""
+def _simhash_ctes() -> str:
+    """The shared DuckDB CTE chain computing per-doc SimHash: per-token
+    XXH64 via the SQL unroll (grouped by (doc, token) so each distinct
+    token hashes once, weighted by its count), bit votes as a 64-way
+    cross join, the signed fingerprint reassembled from winning bits
+    into ``sims(doc_id, simhash)``. Shared by the d04 and d07 oracles."""
     hx, hf = xxh64_ctes("d4h", "tokc", ["doc_id", "cnt"])
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents WHERE text IS NOT NULL
     ),
@@ -687,7 +685,16 @@ def _d04_oracle_sql() -> str:
                     ELSE CAST(POWER(2, i) AS HUGEINT) END
                ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
-    )
+    )"""
+
+
+def _d04_oracle_sql() -> str:
+    """Full value oracle for the JVM SimHash (CTE chain above).
+    Empty-token docs come back as 0 and NULL text as NULL via the
+    final left join — the same edge semantics as the engine
+    expression."""
+    return f"""
+    WITH {_simhash_ctes()}
     SELECT d.doc_id,
            CASE WHEN d.text IS NULL THEN NULL
                 ELSE COALESCE(s.simhash, 0) END AS simhash
@@ -710,4 +717,87 @@ def d04_simhash(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .selectExpr("doc_id", simhash64_sql_expr("text") + " AS simhash")
         .orderBy("doc_id")
+    )
+
+
+def _d07_oracle_sql() -> str:
+    """Full value oracle for the banded SimHash near-dup join: the
+    shared fingerprint CTEs, the four 16-bit bands as an unsigned
+    divide (HUGEINT bias for negative fingerprints), the same
+    (band, bucket) self-join, and the same ``hamming <= 3`` verify
+    via ``bit_count(xor(...))``."""
+    return f"""
+    WITH {_simhash_ctes()},
+    fps AS (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sims s USING (doc_id)
+      WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+    ),
+    banded AS (
+      SELECT doc_id, simhash, r.b AS band,
+             CAST(((CAST(simhash AS HUGEINT)
+                    + CASE WHEN simhash < 0
+                           THEN CAST(POWER(2, 64) AS HUGEINT)
+                           ELSE CAST(0 AS HUGEINT) END)
+                   // CAST(POWER(2, 16 * r.b) AS HUGEINT)) % 65536
+                  AS BIGINT) AS bucket
+      FROM fps CROSS JOIN range(0, 4) r(b)
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("d07_simhash_band_neardup", _d07_oracle_sql())
+def d07_simhash_band_neardup(spark, sf_dir):
+    """SimHash near-duplicate PAIRS, the scale path that makes d04's
+    fingerprint a complete dedup operator: the 64-bit JVM SimHash is
+    split into four 16-bit bands, pairs sharing any band are
+    candidates, and ``bit_count(x ^ y) <= 3`` verifies them. By
+    pigeonhole, any pair within hamming distance 3 has at least one
+    intact band, so the output is EXACTLY the set of pairs at
+    hamming <= 3 — no recall loss, yet the join is a banded LSH
+    shuffle on (band, bucket): O(collisions), never all-pairs, and
+    the 4x16-bit key space spreads the shuffle evenly at 100 TB.
+    Token-free docs (degenerate fingerprint 0) are excluded up
+    front so they cannot form a quadratic all-zeros bucket."""
+    from ..functions.text import simhash64_sql_expr
+
+    fps = (
+        load(spark, sf_dir, "documents")
+        .where("text IS NOT NULL AND trim(text) <> ''")
+        .selectExpr("doc_id", simhash64_sql_expr("text") + " AS simhash")
+        # pinned: the band self-join reads the fingerprints twice
+        .localCheckpoint(eager=True)
+    )
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band,"
+                " shiftright(simhash, 16 * b) & 65535L AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .where("hamming <= 3")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     )

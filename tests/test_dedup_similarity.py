@@ -119,6 +119,46 @@ def test_simhash_jvm_matches_python_and_oracle(spark):
     assert engine == oracle
 
 
+def test_simhash_band_neardup_exact_semantics(spark, tmp_path):
+    """d07's banded join returns EXACTLY the pairs at hamming <= 3
+    (pigeonhole over four 16-bit bands loses nothing), so it must
+    equal a brute-force O(n^2) sweep over the Python-mirror
+    fingerprints — planted exact dups, a one-token mutation, and
+    token-free/NULL docs that must be excluded."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        d07_simhash_band_neardup,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = [(i, _vocab_doc(rng)) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact dup -> hamming 0
+    rows.append((101, rows[1][1] + " extra"))
+    rows.append((102, ""))  # token-free: excluded
+    rows.append((103, "   "))  # spaces only: excluded
+    rows.append((104, None))  # NULL: excluded
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    engine = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in d07_simhash_band_neardup(spark, sf_dir).collect()
+    }
+    fps = [
+        (d, simhash64(t)) for d, t in rows if t is not None and t.strip()
+    ]
+    brute = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (da, ha), (db, hb) = fps[i], fps[j]
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                brute.add((min(da, db), max(da, db), ham))
+    assert {(a, b) for a, b, _ in engine} == {(a, b) for a, b, _ in brute}
+    assert engine == brute
+    assert any(h == 0 for _, _, h in engine)  # the planted exact dup
+
+
 def test_simhash_properties():
     doc = " ".join(f"w{i}" for i in range(50))
     one_off = " ".join(("XX" if i == 7 else f"w{i}") for i in range(50))
