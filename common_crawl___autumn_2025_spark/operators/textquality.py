@@ -329,3 +329,113 @@ def t07_sequence_pack(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _t08_oracle_sql() -> str:
+    """DuckDB twin of the repetition signals: identical token/bigram
+    grouping, identical float arithmetic (integer counts divided as
+    doubles in the same order), 1-token docs get bigram fraction 0
+    via the same left join + coalesce."""
+    return """
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, unnest(l) AS tok FROM lists),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tok_stats AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS topc
+      FROM tc GROUP BY doc_id
+    ),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM lists WHERE len(l) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    bg_stats AS (
+      SELECT doc_id, SUM(c) AS btotal, MAX(c) AS btopc
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.total AS BIGINT) AS n_tokens,
+           1.0 - CAST(t.dist AS DOUBLE) / t.total AS dup_token_frac,
+           CAST(t.topc AS DOUBLE) / t.total AS top_token_frac,
+           COALESCE(CAST(b.btopc AS DOUBLE) / b.btotal, 0.0)
+             AS top_bigram_frac,
+           (1.0 - CAST(t.dist AS DOUBLE) / t.total <= 0.6
+            AND CAST(t.topc AS DOUBLE) / t.total <= 0.12
+            AND COALESCE(CAST(b.btopc AS DOUBLE) / b.btotal, 0.0) <= 0.06)
+             AS keep
+    FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+    WHERE t.total >= 1
+    ORDER BY doc_id
+    """
+
+
+@register("t08_repetition_filter", _t08_oracle_sql())
+def t08_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate, the curation signal the
+    line-based originals reduce to on single-line web text: per doc,
+    the duplicate-token fraction (1 - distinct/total), the most
+    frequent token's share, and the most frequent bigram's share,
+    plus a ``keep`` verdict under fixed thresholds (<=0.6 / <=0.12 /
+    <=0.06 — chosen to split the corpus, not pass it wholesale).
+
+    100 TB shape: two partial-agg groupBys keyed by (doc_id, gram) —
+    map-side combine absorbs the repetition being measured, so the
+    shuffle carries distinct grams, not tokens — joined back on
+    doc_id. Counts stay integers until one final double division in
+    a fixed order, making the floats bit-identical to the oracle."""
+    lists = (
+        load(spark, sf_dir, "documents")
+        .where("text IS NOT NULL")
+        .selectExpr(
+            "doc_id", "filter(split(text, ' '), t -> t <> '') AS l"
+        )
+    )
+    tok_stats = (
+        lists.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("total"),
+            F.count("*").alias("dist"),
+            F.max("count").alias("topc"),
+        )
+    )
+    bg_stats = (
+        lists.where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), i ->"
+                    " concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("btotal"), F.max("count").alias("btopc"))
+    )
+    dup = F.lit(1.0) - F.col("dist").cast("double") / F.col("total")
+    topt = F.col("topc").cast("double") / F.col("total")
+    topb = F.coalesce(
+        F.col("btopc").cast("double") / F.col("btotal"), F.lit(0.0)
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .where(F.col("total") >= 1)
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_tokens"),
+            dup.alias("dup_token_frac"),
+            topt.alias("top_token_frac"),
+            topb.alias("top_bigram_frac"),
+            ((dup <= 0.6) & (topt <= 0.12) & (topb <= 0.06)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

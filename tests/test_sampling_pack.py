@@ -93,3 +93,55 @@ def test_t07_pack_shape(spark):
         if pack < max(by_bucket[bucket]):
             # every non-final pack's window is fully covered
             assert total > PACK_BUDGET_TOKENS - max_doc, (bucket, pack, total)
+
+
+def test_t08_repetition_filter_semantics(spark, tmp_path):
+    """Planted docs pin the signal math: an all-same-token doc is
+    maximally repetitive (rejected), a fully-distinct doc is clean
+    (kept), a single-token doc gets bigram fraction 0, and the
+    engine equals the DuckDB oracle bit-for-bit on all of them."""
+    from common_crawl___autumn_2025_spark.operators.textquality import (
+        _t08_oracle_sql,
+        t08_repetition_filter,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, " ".join(f"w{i}" for i in range(30))),
+        (2, "solo"),
+        (3, "x y x y x y x y"),
+        (4, None),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    got = {r.doc_id: r.asDict() for r in t08_repetition_filter(
+        spark, sf_dir).collect()}
+    assert 4 not in got  # NULL text excluded
+    assert got[0]["dup_token_frac"] == 1.0 - 1.0 / 8
+    assert got[0]["top_token_frac"] == 1.0
+    assert got[0]["top_bigram_frac"] == 1.0
+    assert got[0]["keep"] is False
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[1]["top_token_frac"] == 1.0 / 30
+    assert got[1]["keep"] is True
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["top_bigram_frac"] == 0.0
+    # "x y" appears 4x among 7 bigrams
+    assert got[3]["top_bigram_frac"] == 4.0 / 7
+    assert got[3]["keep"] is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.sql(_t08_oracle_sql()).fetchall()
+    }
+    for d, row in got.items():
+        assert oracle[d] == (
+            d, row["n_tokens"], row["dup_token_frac"],
+            row["top_token_frac"], row["top_bigram_frac"], row["keep"],
+        )
