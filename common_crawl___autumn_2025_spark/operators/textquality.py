@@ -1,7 +1,9 @@
 """Text-analysis operators over ``documents``: language ID, quality
-scoring, token counting, fingerprinting — the per-document scoring
-stages of a training-data pipeline. All oracle-checked except the
-rolling fingerprint (custom hash, pytest-validated).
+scoring, token counting, fingerprinting, hash-gate sampling, sequence
+packing, repetition gating — the per-document scoring stages of a
+training-data pipeline. All value-checked against full DuckDB oracles
+(the rolling fingerprint and hash-gate sampling via the xxh64/modular
+SQL unrolls).
 """
 
 from __future__ import annotations
