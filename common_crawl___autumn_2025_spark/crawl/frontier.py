@@ -831,6 +831,14 @@ class CrawlEngine:
         pending["thread"].join()
         wait = round(time.time() - t0, 3)
         if "err" in pending["holder"]:
+            # release the held relations even when the commit failed —
+            # a long-lived session that catches the error and retries
+            # must not accumulate orphaned checkpoint/persist blocks
+            if pending["prev_fetched"] is not None:
+                pending["prev_fetched"].unpersist()
+            for df in pending["cleanup"]:
+                df.unpersist()
+            pending["fetched"].unpersist()
             raise pending["holder"]["err"]
         manifest = pending["holder"]["manifest"]
         round_entry = {

@@ -345,8 +345,16 @@ def build_cdx_cluster(
     cluster = {"key": "image_id", "files": entries}
     with open(os.path.join(tmp_dir, "cluster.json"), "w") as fh:
         json.dump(cluster, fh, indent=1)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # atomic swap even on REBUILD: move the old index aside first, so
+    # a crash between steps leaves either the old or the new index in
+    # place — never a window with no index at all (an rmtree-then-
+    # rename publish had exactly that window)
+    old_dir = out_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old_dir)
     os.rename(tmp_dir, out_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return {"files": len(entries), "rows": sum(e["rows"] for e in entries)}
 
 

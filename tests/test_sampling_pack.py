@@ -15,22 +15,19 @@ from common_crawl___autumn_2025_spark.operators.textquality import (
     t07_sequence_pack,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
-
-
 @pytest.fixture()
-def ducks():
+def ducks(sf_dir):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS "
-        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
     return con
 
 
-def test_t06_engine_matches_oracle(spark, ducks):
+def test_t06_engine_matches_oracle(spark, ducks, sf_dir):
     engine = [
-        (r.doc_id, r.lang) for r in t06_stratified_sample(spark, SF_DIR).collect()
+        (r.doc_id, r.lang) for r in t06_stratified_sample(spark, sf_dir).collect()
     ]
     oracle = ducks.sql(_t06_oracle_sql()).fetchall()
     assert engine == [(d, lang) for d, lang in oracle]
@@ -63,18 +60,18 @@ def test_t06_rates_converge():
         assert abs(frac - want_bp / 10000) < 0.02, (lang, frac, want_bp)
 
 
-def test_t07_engine_matches_oracle(spark, ducks):
+def test_t07_engine_matches_oracle(spark, ducks, sf_dir):
     engine = [
         (r.doc_id, r.bucket, r.pack_id, r.n_tokens)
-        for r in t07_sequence_pack(spark, SF_DIR).collect()
+        for r in t07_sequence_pack(spark, sf_dir).collect()
     ]
     oracle = [tuple(r) for r in ducks.sql(_t07_oracle_sql()).fetchall()]
     assert engine == oracle
     assert len(engine) == 500  # every document is packed exactly once
 
 
-def test_t07_pack_shape(spark):
-    rows = t07_sequence_pack(spark, SF_DIR).collect()
+def test_t07_pack_shape(spark, sf_dir):
+    rows = t07_sequence_pack(spark, sf_dir).collect()
     max_doc = max(r.n_tokens for r in rows)
     by_bucket: dict = {}
     sums: dict = {}

@@ -177,6 +177,14 @@ def test_cdx_cluster_corpus_wide_lookup(spark):
             got = lookup_warc_record(root, image_id)
             assert got["bytes"] == wb and got["caption"] == wc
         assert lookup_warc_record(root, "no-such-id") is None
+        # REBUILD over the existing index: publish swaps old aside ->
+        # new in (never an index-less window), leaves no .old residue,
+        # and lookups still resolve
+        out2 = build_cdx_cluster(spark, root, partitions=2)
+        assert out2["rows"] == 60
+        assert not _os.path.isdir(_os.path.join(root, "cdx-cluster.old"))
+        some_id = next(iter(want))
+        assert lookup_warc_record(root, some_id)["bytes"] == want[some_id][0]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
