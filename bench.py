@@ -52,7 +52,13 @@ HEADLINE = [
     "t02_quality_score",          # text quality scan
     "st01_tumbling_window",       # windowed stream-shape agg
     "m01_records_decode_verify",  # image decode/verify pipeline
+    "d08_exact_substring",        # chunk-level exact-substring dedup (r5+)
+    "v06_semantic_dedup",         # centroid-blocked semantic dedup (r5+)
 ]
+
+# queries added to HEADLINE after round 4 — excluded from the
+# like-for-like total so cross-round comparisons stay valid
+ADDED_R5 = {"d08_exact_substring", "v06_semantic_dedup"}
 
 
 def bench_crawl(spark, partitions: int) -> dict:
@@ -130,12 +136,16 @@ def main():
     crawl = min(crawl_runs, key=lambda c: c["sec"])
 
     total = round(sum(timings.values()), 3)
+    total_r4_set = round(
+        sum(s for n, s in timings.items() if n not in ADDED_R5), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_plus_crawl_total",
                 "value": total,
+                "total_r4_set": total_r4_set,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -8,8 +8,14 @@ Five dedup families, each a ``queries()`` entry:
 - MinHash + LSH banding — oracle-checked (Spark's xxhash64 unrolled
   into DuckDB SQL, see ``functions/xxh64_sql.py``) AND validated by
   pytest against exact Jaccard (candidates ⊇ true pairs);
-- SimHash — Arrow-vectorized pandas UDF; pytest hamming properties;
-- embedding-cosine near-dup lives in ``similarity.py``.
+- SimHash — pure-JVM Catalyst expression, oracle-checked, plus the
+  banded hamming<=3 near-dup join (d07), also oracle-checked;
+- chunk-level exact-substring (d08) — non-overlapping token chunks
+  counted corpus-wide, per-doc duplicated-span fraction + keep
+  verdict (Lee et al. ExactSubstr at chunk granularity) —
+  oracle-checked;
+- embedding-cosine near-dup lives in ``similarity.py`` (v02), as
+  does centroid-blocked semantic dedup (v06, SemDeDup-style).
 
 Scale shape: every family is shuffle-on-key (hash, shingle, band
 bucket) with no driver-side state; candidate generation is blocked
@@ -57,9 +63,16 @@ def _shingles(toks_col: str = "toks"):
 
 
 def _with_shingle_arr(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + materialized distinct-shingle array (+ its size)."""
+    """doc_id + materialized distinct-shingle array (+ its size).
+
+    NULL text yields NO shingles (the doc simply does not participate
+    in similarity) — without the filter, ``concat_ws`` over the NULL
+    token array would conflate NULL with the empty document's ``""``
+    shingle and pair them; the DuckDB oracles propagate NULL and have
+    always excluded such docs."""
     return (
-        docs.withColumn("toks", F.split(F.col(text_col), " "))
+        docs.where(F.col(text_col).isNotNull())
+        .withColumn("toks", F.split(F.col(text_col), " "))
         .withColumn("arr", F.array_distinct(_shingles("toks")))
         .select("doc_id", F.size("arr").alias("sz"), "arr")
     )
@@ -184,7 +197,8 @@ def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> Data
 # d02's pair derivation as composable CTE text (d05 builds its
 # component oracle on top of the same pairs)
 _D02_CTES = f"""lists AS (
-      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
       SELECT DISTINCT doc_id, unnest(
@@ -619,7 +633,8 @@ def _d03_oracle_sql() -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
     ),
     shing AS (
       SELECT DISTINCT doc_id, unnest(
@@ -800,4 +815,95 @@ def d07_simhash_band_neardup(spark, sf_dir):
         .where("hamming <= 3")
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- d08: chunk-level exact-substring dedup ---------------------------------
+
+CHUNK = 10             # tokens per non-overlapping chunk; the tail
+                       # (< CHUNK tokens) is dropped so every chunk
+                       # compared is the same width
+DUP_FRAC_KEEP = 0.5    # keep verdict threshold on duplicated fraction
+
+_D08_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+inst AS (
+  SELECT doc_id, unnest(list_transform(range(0, CAST(len(l) // {CHUNK} AS INT)),
+         i -> array_to_string(l[i*{CHUNK}+1:i*{CHUNK}+{CHUNK}], ' '))) AS ch
+  FROM t WHERE len(l) >= {CHUNK}
+),
+gcnt AS (SELECT ch, count(*) AS cnt FROM inst GROUP BY ch)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (g.cnt >= 2) AS dup_chunks,
+       floor((count(*) FILTER (g.cnt >= 2))::DOUBLE / count(*)
+             * 1000000 + 0.5) / 1000000 AS dup_frac,
+       (floor((count(*) FILTER (g.cnt >= 2))::DOUBLE / count(*)
+             * 1000000 + 0.5) / 1000000) <= {DUP_FRAC_KEEP} AS keep
+FROM inst JOIN gcnt g USING (ch)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("d08_exact_substring", _D08_ORACLE)
+def d08_exact_substring(spark, sf_dir):
+    """Exact-substring dedup at chunk granularity (the scalable
+    approximation of Lee et al.'s ExactSubstr, which the reference's
+    single-process dedup pass cannot express at all): split each doc
+    into non-overlapping CHUNK-token spans, count every span string
+    corpus-wide, and report per doc the fraction of its spans that
+    occur >= 2 times anywhere (within-doc repeats included — repeated
+    boilerplate is duplication wherever it lives) plus a keep verdict
+    at DUP_FRAC_KEEP.
+
+    Scale shape: chunks leave the scan as xxhash64 digests, never
+    strings, so the global count is a partial-aggregated shuffle of
+    64-bit keys; the dup-mark join's build side is only the chunks
+    with count >= 2 (heavily reduced — AQE picks broadcast when it
+    fits). The DuckDB oracle groups by the chunk STRING — exact
+    ground truth — so a hash collision that merged two distinct
+    chunks would surface as an engine/oracle mismatch.  Docs with
+    NULL text or fewer than CHUNK tokens have no chunks and are
+    excluded (mirrored by the oracle)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    inst = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("nch", F.floor(F.size("toks") / CHUNK).cast("int"))
+        .where(F.col("nch") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, nch - 1),"
+                    f" i -> xxhash64(concat_ws(' ',"
+                    f" slice(toks, i*{CHUNK}+1, {CHUNK}))))"
+                )
+            ).alias("ch"),
+        )
+    )
+    gcnt = inst.groupBy("ch").agg(F.count("*").alias("cnt"))
+    dup_marked = inst.join(
+        gcnt.where(F.col("cnt") >= 2).select("ch", F.lit(1).alias("dup")),
+        on="ch",
+        how="left",
+    )
+    return (
+        dup_marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("dup").alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.floor(
+                F.col("dup_chunks").cast("double") / F.col("n_chunks")
+                * 1000000 + F.lit(0.5)
+            ) / 1000000,
+        )
+        .withColumn("keep", F.col("dup_frac") <= DUP_FRAC_KEEP)
+        .orderBy("doc_id")
     )

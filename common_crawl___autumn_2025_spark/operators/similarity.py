@@ -512,3 +512,96 @@ def v05_ann_ivf_kmeans(spark, sf_dir):
     refined = kmeans_refine(emb, init, iters=KMEANS_ITERS)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, refined)
+
+
+# -- v06: semantic dedup (SemDeDup-style) ------------------------------------
+
+SEM_TAU = 0.3  # intra-cell cosine at/above which two docs are
+               # semantic duplicates (~top 3% of intra-cell pairs on
+               # the sf corpora — tight enough to mean "same content")
+
+_V06_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}),
+asn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_R6_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS dup_id, a.vec_id AS keep_id,
+         {_R6_COS.format(a='ea.v', b='eb.v')} AS cosine
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT dup_id, keep_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
+  FROM pairs WHERE cosine >= {SEM_TAU}
+) WHERE rn = 1
+ORDER BY dup_id
+"""
+
+
+@register("v06_semantic_dedup", _V06_ORACLE)
+def v06_semantic_dedup(spark, sf_dir):
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
+    embedding space, then mark as duplicate any vector whose cosine to
+    a LOWER-id vector in the SAME cluster is >= SEM_TAU; the output
+    maps every duplicate to its canonical keeper (the minimum such
+    partner id) plus their cosine. Unlike v02 this needs NO label
+    column — the blocking comes from the embedding geometry itself,
+    which is what an unlabeled 100 TB corpus actually has.
+
+    Reuses v04's deterministic codebook (md5-rank sample of N_CELLS
+    corpus vectors — seed-free, insertion-order-independent, mirrored
+    exactly in the DuckDB oracle) and the same Arrow-batched
+    rounded-cosine assignment UDF, so cell membership is bit-stable
+    across engines. Scale shape: one assignment scan (centroids
+    broadcast in the UDF closure), one self-join keyed by cell —
+    pair volume is sum of per-cell squares, never the global n²; a
+    k-means-refined codebook (v05's kmeans_refine) drops in without
+    changing the plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r[0])
+    centroids = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cell_udf, _probes = ivf_assign_udfs(centroids, 1)
+    asn = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        cell_udf(F.col("embedding")).alias("cell"),
+    # pinned: the cell self-join reads the assignments twice — without
+    # this the Arrow assignment scan runs once per join side (d03 pins
+    # its fingerprints for the same reason)
+    ).localCheckpoint(eager=True)
+    a, b = asn.alias("a"), asn.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("dup_id"),
+            F.col("a.vec_id").alias("keep_id"),
+            r6(cosine_udf(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= SEM_TAU)
+    )
+    w = Window.partitionBy("dup_id").orderBy("keep_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dup_id", "keep_id", "cosine")
+        .orderBy("dup_id")
+    )

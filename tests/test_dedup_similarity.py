@@ -577,3 +577,48 @@ def test_d03_oracle_matches_engine(spark, near_dup_docs):
     oracle = {(a, b) for a, b in con.sql(_d03_oracle_sql()).fetchall()}
     assert engine == oracle
     assert (2004, 2005) in engine  # identical docs always collide
+
+
+def test_null_text_excluded_from_shingle_families(spark, tmp_path):
+    """Regression: NULL-text docs must NOT pair with empty-text docs.
+    _shingles' otherwise-branch used to concat_ws a NULL token array
+    into the same "" shingle an empty doc gets, so two NULL docs and
+    an empty doc all became mutual d02/d03 "duplicates" while the
+    DuckDB oracles (NULL propagation) emitted nothing. Engine and
+    oracle must now agree on a NULL-bearing corpus."""
+    import duckdb
+
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _d03_oracle_sql,
+        d02_shingle_jaccard,
+        d03_minhash_lsh,
+    )
+    from common_crawl___autumn_2025_spark.plans import ORACLE_SQL
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, None),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta zeta"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    d02_engine = sorted(
+        (r.doc_a, r.doc_b) for r in d02_shingle_jaccard(spark, sf_dir).collect()
+    )
+    d02_oracle = sorted(con.sql(ORACLE_SQL["d02_shingle_jaccard"]).fetchall())
+    assert d02_engine == d02_oracle == [(3, 4)]
+    d03_engine = sorted(
+        (r.doc_a, r.doc_b) for r in d03_minhash_lsh(spark, sf_dir).collect()
+    )
+    d03_oracle = sorted(con.sql(_d03_oracle_sql()).fetchall())
+    assert d03_engine == d03_oracle
+    assert all(a not in (0, 2) and b not in (0, 2) for a, b in d03_engine)
