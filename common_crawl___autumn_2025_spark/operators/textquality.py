@@ -441,3 +441,83 @@ def t08_repetition_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# -- t09: benchmark decontamination ------------------------------------------
+
+NGRAM = 5          # overlap gram width (decontamination passes use
+                   # 8-13-gram windows on real corpora; 5 keeps the
+                   # sf docs' 10-99-token texts in range)
+EVAL_MAX_ID = 10   # docs with doc_id < EVAL_MAX_ID form the held-out
+                   # "benchmark" split; the rest are training docs
+
+_T09_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - {NGRAM} + 2),
+         i -> array_to_string(l[i:i+{NGRAM}-1], ' '))) AS gram
+  FROM t WHERE len(l) >= {NGRAM}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {EVAL_MAX_ID}),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id >= {EVAL_MAX_ID})
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (gram IN (SELECT gram FROM ev)) AS hit_grams,
+       (count(*) FILTER (gram IN (SELECT gram FROM ev))) > 0 AS contaminated
+FROM tr
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("t09_decontaminate", _T09_ORACLE)
+def t09_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per training doc, how many of its
+    sliding NGRAM-token windows also occur in the held-out eval split
+    (doc_id < EVAL_MAX_ID) — the n-gram-overlap check every serious
+    LLM corpus runs so evaluation data never leaks into training
+    (the GPT-3/PaLM-style 'dirty document' pass). Output: per train
+    doc, total grams, hit grams, and a contaminated verdict.
+
+    Scale shape: grams leave the scan as xxhash64 digests; the eval
+    side is DISTINCT digests of the benchmark split — benchmark
+    suites are small by nature (a few million grams at most), so the
+    explicit broadcast is the correct production hint, not just a
+    small-scale convenience; the train side then needs only one
+    partial-aggregated groupBy(doc_id), no gram shuffle at all. The
+    DuckDB oracle matches on gram STRINGS — exact ground truth — so
+    a digest collision would surface as a value mismatch."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .where(F.size("toks") >= NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {NGRAM}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i+1, {NGRAM}))))"
+                )
+            ).alias("g"),
+        )
+    )
+    ev = (
+        grams.where(F.col("doc_id") < EVAL_MAX_ID)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = grams.where(F.col("doc_id") >= EVAL_MAX_ID)
+    return (
+        tr.join(F.broadcast(ev), on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("hit_grams"),
+        )
+        .withColumn("contaminated", F.col("hit_grams") > 0)
+        .orderBy("doc_id")
+    )
