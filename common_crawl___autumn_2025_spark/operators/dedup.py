@@ -884,6 +884,10 @@ def d08_exact_substring(spark, sf_dir):
                 )
             ).alias("ch"),
         )
+        # pinned: both the global count and the dup-mark join read the
+        # exploded chunk digests — without this the tokenize+hash scan
+        # runs once per consumer (d02 pins its shingles likewise)
+        .localCheckpoint(eager=True)
     )
     gcnt = inst.groupBy("ch").agg(F.count("*").alias("cnt"))
     dup_marked = inst.join(

@@ -291,8 +291,11 @@ _R6_COS = (
     " * sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
 )
 
-_IVF_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# the deterministic codebook + cell assignment as shared CTE text:
+# every centroid-cell oracle (v04 IVF, v06 semantic dedup) splices
+# this ONE definition, so the codebook rule (N_CELLS, md5 rank, cid
+# tie-break) cannot silently diverge between oracles
+_CENT_ASN_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}),
 asn AS (
@@ -302,7 +305,10 @@ asn AS (
              {_R6_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
-),
+)"""
+
+_IVF_ORACLE = f"""
+WITH {_CENT_ASN_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
 probes AS (
   SELECT query_id, cid AS cell FROM (
@@ -330,6 +336,27 @@ SELECT query_id, hit_id, cosine FROM (
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
+
+
+def md5_rank_centroids(emb: DataFrame) -> np.ndarray:
+    """The deterministic IVF codebook: an ORDER-STABLE UNIFORM SAMPLE
+    of N_CELLS corpus vectors ranked by md5 of the vector id — unlike
+    "first N rows", insertion-order-independent, so a corpus whose
+    early rows share structure (one crawl host, one shard) cannot
+    bias the codebook. Seed-free and mirrored exactly by
+    ``_CENT_ASN_CTES``; the collect stays bounded at N_CELLS rows
+    (TakeOrderedAndProject — no global sort). Shared by v04/v05/v06
+    so the codebook rule lives in exactly one place per engine."""
+    rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # matrix rows ascending by vec_id: the UDF's argmax breaks
+    # near-ties by row index, the oracle by cent.cid — same order
+    rows.sort(key=lambda r: r[0])
+    return np.array([r[1] for r in rows], dtype=np.float64)
 
 
 def ivf_assign_udfs(centroids: np.ndarray, nprobe: int):
@@ -407,29 +434,14 @@ def ivf_topk(
 @register("v04_ann_ivf_flat", _IVF_ORACLE)
 def v04_ann_ivf_flat(spark, sf_dir):
     """IVF-Flat ANN (the survey's alternative scale path to LSH):
-    deterministic centroids = an ORDER-STABLE UNIFORM SAMPLE of
-    N_CELLS corpus vectors, ranked by md5 of the vector id (the o05
-    md5-rank machinery) — unlike "first N rows", the sample is
-    insertion-order-independent, so a corpus whose early rows share
-    structure (one crawl host, one shard) cannot bias the codebook
-    and silently degrade recall at scale. Seed-free and mirrored
+    deterministic codebook via ``md5_rank_centroids`` (seed-free,
+    insertion-order-independent — see its docstring), mirrored
     exactly in the DuckDB oracle; k-means refinement drops in without
     changing the plan. nprobe-cell probing, exact re-rank within
     probed cells; assignment, probing, and ranking all use the same
-    rounded-cosine + id tiebreak on both engines. The centroid
-    collect stays bounded at N_CELLS rows (TakeOrderedAndProject —
-    no global sort)."""
+    rounded-cosine + id tiebreak on both engines."""
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CELLS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    # matrix rows ascending by vec_id: the UDF's argmax breaks
-    # near-ties by row index, the oracle by cent.cid — same order
-    cent_rows.sort(key=lambda r: r[0])
-    centroids = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    centroids = md5_rank_centroids(emb)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, centroids)
 
@@ -501,15 +513,7 @@ def v05_ann_ivf_kmeans(spark, sf_dir):
     partial-aggregated shuffle of cells × dim rows, and driver state
     never exceeds the codebook."""
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CELLS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent_rows.sort(key=lambda r: r[0])
-    init = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    refined = kmeans_refine(emb, init, iters=KMEANS_ITERS)
+    refined = kmeans_refine(emb, md5_rank_centroids(emb), iters=KMEANS_ITERS)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, refined)
 
@@ -521,17 +525,7 @@ SEM_TAU = 0.3  # intra-cell cosine at/above which two docs are
                # the sf corpora — tight enough to mean "same content")
 
 _V06_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}),
-asn AS (
-  SELECT vec_id, cid AS cell FROM (
-    SELECT e.vec_id, cent.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             {_R6_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
-    FROM e CROSS JOIN cent
-  ) WHERE rn = 1
-),
+WITH {_CENT_ASN_CTES},
 pairs AS (
   SELECT b.vec_id AS dup_id, a.vec_id AS keep_id,
          {_R6_COS.format(a='ea.v', b='eb.v')} AS cosine
@@ -551,31 +545,29 @@ ORDER BY dup_id
 def v06_semantic_dedup(spark, sf_dir):
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
     embedding space, then mark as duplicate any vector whose cosine to
-    a LOWER-id vector in the SAME cluster is >= SEM_TAU; the output
-    maps every duplicate to its canonical keeper (the minimum such
-    partner id) plus their cosine. Unlike v02 this needs NO label
+    a LOWER-id vector in the SAME cluster is >= SEM_TAU. Each output
+    row maps a duplicate to its MINIMAL near partner (the lowest-id
+    same-cell vector within SEM_TAU) plus their cosine. The kept set
+    is exactly the ids that never appear as dup_id; note keep_id is
+    evidence of duplication, NOT a transitive canonical label — in a
+    near-dup chain (cos(1,2)>=τ, cos(2,3)>=τ, cos(1,3)<τ) vector 3's
+    keep_id is 2, itself a duplicate of 1. A consumer wanting one
+    canonical representative per duplicate GROUP composes these pairs
+    with ``dedup.dup_components`` (min-id connected components),
+    exactly as d02/d03 pairs feed d05. Unlike v02 this needs NO label
     column — the blocking comes from the embedding geometry itself,
     which is what an unlabeled 100 TB corpus actually has.
 
-    Reuses v04's deterministic codebook (md5-rank sample of N_CELLS
-    corpus vectors — seed-free, insertion-order-independent, mirrored
-    exactly in the DuckDB oracle) and the same Arrow-batched
-    rounded-cosine assignment UDF, so cell membership is bit-stable
-    across engines. Scale shape: one assignment scan (centroids
-    broadcast in the UDF closure), one self-join keyed by cell —
-    pair volume is sum of per-cell squares, never the global n²; a
-    k-means-refined codebook (v05's kmeans_refine) drops in without
-    changing the plan."""
+    Reuses the shared deterministic codebook (``md5_rank_centroids``,
+    seed-free, mirrored exactly by ``_CENT_ASN_CTES`` in the oracle)
+    and the same Arrow-batched rounded-cosine assignment UDF, so cell
+    membership is bit-stable across engines. Scale shape: one
+    assignment scan (centroids broadcast in the UDF closure), one
+    self-join keyed by cell — pair volume is sum of per-cell squares,
+    never the global n²; a k-means-refined codebook (v05's
+    kmeans_refine) drops in without changing the plan."""
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CELLS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent_rows.sort(key=lambda r: r[0])
-    centroids = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cell_udf, _probes = ivf_assign_udfs(centroids, 1)
+    cell_udf, _probes = ivf_assign_udfs(md5_rank_centroids(emb), 1)
     asn = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),

@@ -143,9 +143,16 @@ def test_v06_planted_semantic_dups(spark, tmp_path):
     assert engine == oracle
 
 
-@pytest.mark.parametrize("cores", [2, 8])
-def test_d08_deterministic_under_parallelism(spark, sf_dir, cores):
-    df = d08_exact_substring(spark, sf_dir).repartition(cores)
-    rows = sorted(tuple(r) for r in df.collect())
+@pytest.mark.parametrize("parts", [2, 8])
+def test_d08_deterministic_under_parallelism(spark, sf_dir, parts):
+    """The COMPUTATION must be partitioning-invariant: vary the
+    shuffle-partition count the operator's aggregations actually run
+    under (not the finished result's layout) and compare."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        rows = sorted(tuple(r) for r in d08_exact_substring(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     ref = sorted(tuple(r) for r in d08_exact_substring(spark, sf_dir).collect())
     assert rows == ref
