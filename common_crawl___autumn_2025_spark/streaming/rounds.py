@@ -15,6 +15,40 @@ from pyspark.sql import functions as F
 from ..plans import load, register
 
 
+def _stage_time_ordered(
+    batch: DataFrame, n_files: int, prefix: str
+) -> tuple[str, str]:
+    """Stage a batch DataFrame as ``n_files`` parquet files split by
+    GLOBAL (ts, event_id) range with ascending mtimes, so a
+    ``maxFilesPerTrigger=1`` file stream replays it as micro-batches
+    arriving in event-time order — the property that makes cross-batch
+    state (sessions, dedup) deterministic. Each file is a single
+    coalesced, order-preserving partition. Returns (stage_dir,
+    work_dir); the caller removes both when the stream drains."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    stage_dir = tempfile.mkdtemp(prefix=f"{prefix}_")
+    work_dir = tempfile.mkdtemp(prefix=f"{prefix}_w_")
+    bucketed = batch.withColumn(
+        "__b",
+        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+    )
+    now = time.time()
+    for i in range(1, n_files + 1):
+        part = os.path.join(work_dir, f"b{i}")
+        bucketed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(part, files[0]), dst)
+        os.utime(dst, (now + i, now + i))  # ascending arrival order
+    return stage_dir, work_dir
+
+
 @register(
     "st01_tumbling_window",
     """
@@ -113,32 +147,14 @@ def stream_sessionize_stateful(
     order, which is what makes cross-batch session numbering
     deterministic (the same property event-time ordering gives a
     production stream within a watermark)."""
-    import os
     import shutil
-    import tempfile
-    import time
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     batch = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    stage_dir = tempfile.mkdtemp(prefix="stream_sess_")
-    work_dir = tempfile.mkdtemp(prefix="stream_sess_w_")
     # split by global event-time range so sessions span batches
-    bucketed = batch.withColumn(
-        "__b",
-        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
-    )
-    now = time.time()
-    for i in range(1, n_files + 1):
-        part = os.path.join(work_dir, f"b{i}")
-        bucketed.where(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part)
-        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
-        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
-        shutil.copyfile(os.path.join(part, files[0]), dst)
-        os.utime(dst, (now + i, now + i))  # ascending arrival order
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_sess")
 
     stream = (
         spark.readStream.schema(batch.schema)
@@ -338,3 +354,85 @@ def stream_records_decode(
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(work_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}").orderBy("fmt")
+
+
+# -- st05: streaming first-occurrence dedup ----------------------------------
+
+_ST05_ORACLE = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("st05_streaming_dedup", _ST05_ORACLE)
+def st05_streaming_dedup(spark, sf_dir):
+    """Catalog face of the streaming first-occurrence dedup: a TRUE
+    Structured Streaming run (3 micro-batches, dropDuplicates state
+    carried across them) whose output is defined to equal the batch
+    first-occurrence per key — fully value-checked by the DuckDB
+    row_number oracle."""
+    return stream_first_occurrence_dedup(spark, sf_dir)
+
+
+def stream_first_occurrence_dedup(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """STREAMING STATEFUL DEDUP (SURVEY §2.9's seen-set, in true
+    Structured Streaming form — the crawl engine's Bloom/cuckoo seen
+    store is the batch-round expression of the same operator): keep
+    the FIRST event per (user_id, event_type) across micro-batches
+    via ``dropDuplicates`` over the streaming state store, with a
+    watermark bounding state (keys expire once event time passes —
+    the 100 TB requirement; unbounded dedup state is a leak).
+
+    Determinism: batches are staged in global (ts, event_id) order
+    (``_stage_time_ordered``) and each batch is a single
+    order-preserving partition, so "first arrival" == minimum
+    (ts, event_id) — exactly the oracle's row_number rule, and no
+    event is ever late against the watermark. In production the same
+    pipeline runs on an ordered source (e.g. Kafka per-partition
+    order) or with ``dropDuplicatesWithinWatermark`` when arrival
+    order is only watermark-bounded."""
+    import shutil
+
+    batch = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_dedup")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage_dir)
+    )
+    deduped = (
+        stream.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    name = "stream_first_occurrence_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            # timed out: the availableNow drain is incomplete and the
+            # memory sink holds a PARTIAL seen-set — fail loudly
+            q.stop()
+            raise TimeoutError(
+                "streaming dedup did not drain within 300s"
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name} ORDER BY user_id, event_type")
