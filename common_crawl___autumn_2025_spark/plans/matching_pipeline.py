@@ -228,3 +228,95 @@ def e04_curation_pipeline(spark, sf_dir):
         F.count("*").alias("docs_kept"),
         F.sum(bpe).cast("long").alias("total_tokens"),
     )
+
+
+def _e06_oracle():
+    from ..operators.dedup import _D08_ORACLE
+    from ..operators.textquality import (
+        _T09_ORACLE,
+        _t08_oracle_sql,
+        EVAL_MAX_ID,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id FROM documents
+  WHERE text IS NOT NULL AND doc_id >= {EVAL_MAX_ID}
+),
+rep AS (SELECT doc_id, keep AS repetition_ok FROM ({_t08_oracle_sql()})),
+dec AS (SELECT doc_id, NOT contaminated AS decontaminated_ok
+        FROM ({_T09_ORACLE})),
+sub AS (SELECT doc_id, keep AS substring_ok FROM ({_D08_ORACLE}))
+SELECT b.doc_id,
+       coalesce(rep.repetition_ok, TRUE) AS repetition_ok,
+       coalesce(dec.decontaminated_ok, TRUE) AS decontaminated_ok,
+       coalesce(sub.substring_ok, TRUE) AS substring_ok,
+       (coalesce(rep.repetition_ok, TRUE)
+        AND coalesce(dec.decontaminated_ok, TRUE)
+        AND coalesce(sub.substring_ok, TRUE)) AS keep
+FROM base b
+LEFT JOIN rep USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+LEFT JOIN sub USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("e06_pretraining_keepset", _e06_oracle())
+def e06_pretraining_keepset(spark, sf_dir):
+    """E6: the modern pretraining keep-set in one value-checked plan —
+    every training doc with its per-gate verdicts and the final keep
+    decision: Gopher-style repetition gate (t08), benchmark
+    decontamination (t09, NOT contaminated against the held-out
+    split), and exact-substring duplication (d08's keep). e04 is the
+    classic language/quality/near-dup curation; e06 is the
+    complementary leakage-and-boilerplate pass a 100 TB corpus also
+    runs — composed from the SAME registered operators, so each
+    gate's scale shape is unchanged (partial-agg gram groupBys,
+    broadcast eval digests, pinned chunk digests) and the composition
+    itself is three doc_id-keyed joins of heavily-reduced per-doc
+    verdict tables. Docs absent from a gate's output (too short to
+    have a chunk or a gram) pass that gate by definition — absence of
+    evidence of duplication/contamination, mirrored by the oracle's
+    coalesce."""
+    from ..operators.dedup import d08_exact_substring
+    from ..operators.textquality import (
+        EVAL_MAX_ID,
+        t08_repetition_filter,
+        t09_decontaminate,
+    )
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") >= EVAL_MAX_ID))
+        .select("doc_id")
+    )
+    rep = t08_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("repetition_ok")
+    )
+    dec = t09_decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("decontaminated_ok")
+    )
+    sub = d08_exact_substring(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("substring_ok")
+    )
+    return (
+        base.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(sub, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("repetition_ok", F.lit(True)).alias("repetition_ok"),
+            F.coalesce("decontaminated_ok", F.lit(True)).alias(
+                "decontaminated_ok"
+            ),
+            F.coalesce("substring_ok", F.lit(True)).alias("substring_ok"),
+        )
+        .withColumn(
+            "keep",
+            F.col("repetition_ok")
+            & F.col("decontaminated_ok")
+            & F.col("substring_ok"),
+        )
+        .orderBy("doc_id")
+    )
