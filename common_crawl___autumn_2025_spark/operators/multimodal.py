@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import synthetic as syn
@@ -442,4 +443,52 @@ def e05_image_curation(spark, sf_dir):
         )
         .select("fmt", "n_in", "n_kept", (F.col("n_in") - F.col("n_kept")).alias("n_dropped"))
         .orderBy("fmt")
+    )
+
+
+@register("m06_image_dup_groups")  # rows-only: phash from binary payloads
+def m06_image_dup_groups(spark, sf_dir):
+    """Image dedup END-TO-END: m03's banded phash near-dup pairs
+    clustered into duplicate GROUPS — (image_id, group_id = the
+    lexicographically smallest member, group_size) for every image
+    that near-duplicates another; the dedup keep-set is "one row per
+    group_id". Completes the multimodal family the way d05/d06
+    complete d02/d03: pairs alone cannot drive removal when
+    duplicates chain (A~B, B~C, A!~C needs one canonical group).
+
+    Scale shape: image ids enter the component computation as
+    xxhash64 surrogates (``dup_components_star`` labels 64-bit ids;
+    a collision merging two unrelated groups is a ~2^-64 per-pair
+    event, the standard digest-key tradeoff this engine documents on
+    every hash-keyed shuffle), the O(log n) large-star/small-star
+    rounds do the clustering, and the id mapping back is one join
+    against the (id, hash) relation. Rows-only: phash derives from
+    binary payloads, outside DuckDB's reach — semantics pytest-gated
+    (groups ⊇ pairs, group label = min member, planted chain)."""
+    from .dedup import dup_components_star
+
+    pairs = m03_phash_near_dup(spark, sf_dir)
+    records = syn.records_df(spark, N_RECORDS, seed=42).select("image_id")
+    surr = records.select(
+        "image_id", F.xxhash64("image_id").alias("h")
+    ).localCheckpoint(eager=True)  # read by two joins below
+    lp = (
+        pairs.join(surr.withColumnRenamed("image_id", "img_a"), on="img_a")
+        .withColumnRenamed("h", "doc_a")
+        .join(surr.withColumnRenamed("image_id", "img_b"), on="img_b")
+        .withColumnRenamed("h", "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    comps = dup_components_star(lp)
+    labeled = comps.join(surr, comps.doc_id == surr.h).select(
+        "image_id", "component"
+    )
+    w = Window.partitionBy("component")
+    return (
+        labeled.select(
+            "image_id",
+            F.min("image_id").over(w).alias("group_id"),
+            F.count("*").over(w).cast("long").alias("group_size"),
+        )
+        .orderBy("group_id", "image_id")
     )
