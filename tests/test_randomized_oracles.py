@@ -1,0 +1,72 @@
+"""Randomized cross-engine checks (hypothesis): d08 and t09 must
+agree with their DuckDB oracles on ARBITRARY small corpora, not just
+the sf testdata and the hand-planted cases — the generator aims at
+tokenization edges (repeated/multi-space runs, empty tokens, single
+tokens, shared fragments, NULLs, exact copies)."""
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from common_crawl___autumn_2025_spark.operators.dedup import (
+    _D08_ORACLE,
+    d08_exact_substring,
+)
+from common_crawl___autumn_2025_spark.operators.textquality import (
+    _T09_ORACLE,
+    t09_decontaminate,
+)
+
+# a small shared vocabulary makes cross-doc chunk/gram collisions
+# likely; '' (from double spaces) exercises the empty-token edge
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "the", "x9", ""])
+_DOC = st.lists(_WORD, min_size=0, max_size=30).map(" ".join)
+_CORPUS = st.lists(
+    st.one_of(st.none(), _DOC), min_size=1, max_size=14
+)
+
+
+def _run_both(spark, tmp_path, texts, engine_fn, oracle_sql):
+    sf = str(tmp_path / "sf")
+    rows = list(enumerate(texts))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(sf + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    engine = [tuple(r) for r in engine_fn(spark, sf).collect()]
+    oracle = [tuple(r) for r in con.sql(oracle_sql).fetchall()]
+    return engine, oracle
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_d08_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    # duplicate one doc verbatim so cross-doc duplication often fires
+    texts = list(texts) + [texts[0]]
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, d08_exact_substring, _D08_ORACLE
+    )
+    assert engine == oracle
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_t09_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    # pad the corpus so there are docs on both sides of EVAL_MAX_ID
+    texts = (list(texts) * 3)[:12]
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, t09_decontaminate, _T09_ORACLE
+    )
+    assert engine == oracle
