@@ -248,3 +248,23 @@ def s14_warc_roundtrip(spark, sf_dir):
         )
         .orderBy("fmt")
     )
+
+
+@register("s12_search_source")  # rows-only: blake2b-ranked synthetic
+def s12_search_source(spark, sf_dir):
+    """S12: the search-API source, end to end — a deterministic query
+    batch run through ``crawl/search.py:search_source`` against the
+    synthetic backend with the reference's top-3 slice
+    (``Search_scrape_P1.py:118``). Rows-only: the ranking hash is
+    blake2b (no DuckDB twin, like the rest of the synthetic-web
+    family); the live POST path is pytest-gated against a loopback
+    server (``tests/test_search_source.py``), replay-equal to this
+    synthetic run."""
+    from ..crawl.search import SyntheticSearchClient, search_source
+
+    queries = spark.createDataFrame(
+        [(f"company {i:03d} ltd",) for i in range(20)], "query string"
+    )
+    return search_source(
+        queries, SyntheticSearchClient(), top_k=3
+    ).orderBy("query", "position")
