@@ -145,10 +145,17 @@ def search_source(
     out = queries.select(query_col).mapInPandas(run, RESULT_SCHEMA)
     if exclude_suffixes:
         # JVM-side host extraction (parse_url) — the domain gate stays
-        # inside codegen, no Python stage
+        # inside codegen, no Python stage. Matching is on DOMAIN-LABEL
+        # boundaries: "gov.uk" excludes gov.uk and *.gov.uk but never
+        # notgov.uk (bare endswith over-matches mid-label and, with a
+        # leading dot, under-matches the apex). A malformed link whose
+        # host cannot be parsed is KEPT — the gate only excludes hosts
+        # it positively matched, so enabling an unrelated exclusion
+        # cannot silently drop unparseable rows.
         host = F.parse_url(F.col("link"), F.lit("HOST"))
-        keep = F.lit(True)
+        excluded = F.lit(False)
         for suf in exclude_suffixes:
-            keep = keep & ~host.endswith(suf)
-        out = out.where(keep)
+            s = suf.lstrip(".")
+            excluded = excluded | (host == s) | host.endswith("." + s)
+        out = out.where(host.isNull() | ~excluded)
     return out

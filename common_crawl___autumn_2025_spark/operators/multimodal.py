@@ -467,17 +467,20 @@ def m06_image_dup_groups(spark, sf_dir):
     (groups ⊇ pairs, group label = min member, planted chain)."""
     from .dedup import dup_components_star
 
-    pairs = m03_phash_near_dup(spark, sf_dir)
-    records = syn.records_df(spark, N_RECORDS, seed=42).select("image_id")
-    surr = records.select(
-        "image_id", F.xxhash64("image_id").alias("h")
-    ).localCheckpoint(eager=True)  # read by two joins below
-    lp = (
-        pairs.join(surr.withColumnRenamed("image_id", "img_a"), on="img_a")
-        .withColumnRenamed("h", "doc_a")
-        .join(surr.withColumnRenamed("image_id", "img_b"), on="img_b")
-        .withColumnRenamed("h", "doc_b")
-        .select("doc_a", "doc_b")
+    # pinned: the pair derivation pays the full synthetic record
+    # generation (image encoding included) once; everything below —
+    # the surrogate map, the edge list, the label join — derives from
+    # these pairs, so the record table is never regenerated
+    pairs = m03_phash_near_dup(spark, sf_dir).localCheckpoint(eager=True)
+    surr = (
+        pairs.select(F.col("img_a").alias("image_id"))
+        .unionByName(pairs.select(F.col("img_b").alias("image_id")))
+        .distinct()
+        .select("image_id", F.xxhash64("image_id").alias("h"))
+    )
+    lp = pairs.select(
+        F.xxhash64("img_a").alias("doc_a"),
+        F.xxhash64("img_b").alias("doc_b"),
     )
     comps = dup_components_star(lp)
     labeled = comps.join(surr, comps.doc_id == surr.h).select(

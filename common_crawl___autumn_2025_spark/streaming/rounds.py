@@ -380,15 +380,26 @@ def st05_streaming_dedup(spark, sf_dir):
 
 
 def stream_first_occurrence_dedup(
-    spark: SparkSession, sf_dir: str, n_files: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    watermark_delay: str = "60 days",
 ) -> DataFrame:
     """STREAMING STATEFUL DEDUP (SURVEY §2.9's seen-set, in true
     Structured Streaming form — the crawl engine's Bloom/cuckoo seen
     store is the batch-round expression of the same operator): keep
     the FIRST event per (user_id, event_type) across micro-batches
-    via ``dropDuplicates`` over the streaming state store, with a
-    watermark bounding state (keys expire once event time passes —
-    the 100 TB requirement; unbounded dedup state is a leak).
+    via ``dropDuplicatesWithinWatermark``, the variant whose state the
+    watermark actually BOUNDS — plain ``dropDuplicates`` without the
+    event-time column in its key set never evicts (Spark's
+    StreamingDeduplicate only expires keys that carry the watermark),
+    which is the unbounded-state leak a 100 TB stream cannot run.
+    The honest production contract is therefore: duplicates are
+    suppressed while the key is within ``watermark_delay`` of the
+    stream's max event time; a duplicate arriving beyond that horizon
+    re-admits its key. Here the delay is chosen to cover the staged
+    corpus's whole event-time span, so the output is exactly global
+    first-occurrence and the DuckDB row_number oracle value-checks it.
 
     Determinism: batches are staged in global (ts, event_id) order
     (``_stage_time_ordered``) and each batch is a single
@@ -396,8 +407,7 @@ def stream_first_occurrence_dedup(
     (ts, event_id) — exactly the oracle's row_number rule, and no
     event is ever late against the watermark. In production the same
     pipeline runs on an ordered source (e.g. Kafka per-partition
-    order) or with ``dropDuplicatesWithinWatermark`` when arrival
-    order is only watermark-bounded."""
+    order) with the delay set to the duplicate-arrival horizon."""
     import shutil
 
     batch = load(spark, sf_dir, "events").select(
@@ -412,8 +422,8 @@ def stream_first_occurrence_dedup(
     )
     deduped = (
         stream.withColumn("ts_t", F.col("ts").cast("timestamp"))
-        .withWatermark("ts_t", "10 minutes")
-        .dropDuplicates(["user_id", "event_type"])
+        .withWatermark("ts_t", watermark_delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id", "ts")
     )
     name = "stream_first_occurrence_sink"

@@ -76,18 +76,39 @@ def test_synthetic_search_deterministic_topk(spark):
 
 
 def test_exclude_suffix_gate(spark):
-    q = spark.createDataFrame(QUERIES, "query string")
-    full = search_source(q, SyntheticSearchClient(), top_k=5)
-    hosts = {r.link.split("//", 1)[1].rstrip("/") for r in full.collect()}
-    suffix = sorted(hosts)[0].split(".", 1)[1]  # a real suffix from the data
+    """Domain-label-boundary exclusion: 'gov.uk' drops gov.uk and
+    *.gov.uk, keeps notgov.uk (no mid-label match) and keeps rows
+    whose link has no parseable host (the gate only excludes hosts it
+    positively matched)."""
+
+    class FixedClient:
+        def search(self, query):
+            links = [
+                "https://a.gov.uk/x",      # excluded: label boundary
+                "https://gov.uk/",         # excluded: apex
+                "https://notgov.uk/",      # kept: mid-label non-match
+                "https://ok.example/",     # kept
+                "no-scheme-malformed",     # kept: host unparseable
+            ]
+            return [
+                {"position": i + 1, "title": "t", "link": lk}
+                for i, lk in enumerate(links)
+            ]
+
+    q = spark.createDataFrame([("q1",)], "query string")
     gated = search_source(
-        q, SyntheticSearchClient(), top_k=5, exclude_suffixes=(suffix,)
+        q, FixedClient(), top_k=5, exclude_suffixes=("gov.uk",)
     ).collect()
-    assert gated  # gate filters, not annihilates (suffixes vary)
-    assert all(
-        not r.link.split("//", 1)[1].rstrip("/").endswith(suffix)
-        for r in gated
-    )
+    assert sorted(r.link for r in gated) == [
+        "https://notgov.uk/",
+        "https://ok.example/",
+        "no-scheme-malformed",
+    ]
+    # leading-dot spelling behaves identically (apex still excluded)
+    gated2 = search_source(
+        q, FixedClient(), top_k=5, exclude_suffixes=(".gov.uk",)
+    ).collect()
+    assert sorted(r.link for r in gated2) == sorted(r.link for r in gated)
 
 
 def test_live_post_replay_equals_synthetic(spark, search_server):
