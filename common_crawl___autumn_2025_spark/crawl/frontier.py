@@ -131,7 +131,15 @@ def admit_link(spec: CrawlSpec, page_url: str, page_host: str, href: str) -> str
     link_host = host_of(absolute)
     if not link_host:
         return None
-    if any(link_host.endswith(sfx) for sfx in spec.excluded_suffixes):  # P6
+    # P6 — deliberately the reference's EXACT rule
+    # (`parsed_url.netloc.endswith(".gov.uk")`, Scrape_Utils.py:139):
+    # bare endswith with the caller's spelling, so the default
+    # ".gov.uk" keeps the apex host, exactly as the reference does —
+    # this path is replay-pinned against the oracle crawler, so
+    # trace equality wins over the stricter label-boundary gate
+    # `crawl/search.py:search_source` applies (that one also excludes
+    # the apex and normalizes case; it has no parity constraint).
+    if any(link_host.endswith(sfx) for sfx in spec.excluded_suffixes):
         return None
     link_dom = registered_domain(link_host)
     if link_dom in spec.blacklist_domains:  # P7

@@ -146,16 +146,23 @@ def search_source(
     if exclude_suffixes:
         # JVM-side host extraction (parse_url) — the domain gate stays
         # inside codegen, no Python stage. Matching is on DOMAIN-LABEL
-        # boundaries: "gov.uk" excludes gov.uk and *.gov.uk but never
-        # notgov.uk (bare endswith over-matches mid-label and, with a
-        # leading dot, under-matches the apex). A malformed link whose
-        # host cannot be parsed is KEPT — the gate only excludes hosts
-        # it positively matched, so enabling an unrelated exclusion
-        # cannot silently drop unparseable rows.
-        host = F.parse_url(F.col("link"), F.lit("HOST"))
+        # boundaries over the NORMALIZED host (lowercased, trailing
+        # FQDN dot stripped — hostnames are case-insensitive, so
+        # A.GOV.UK and gov.uk. must not leak past a gov.uk exclusion):
+        # "gov.uk" excludes gov.uk and *.gov.uk but never notgov.uk
+        # (bare endswith over-matches mid-label). This deliberately
+        # GENERALIZES the reference's `endswith(".gov.uk")`
+        # (Search_scrape_P1.py:141), which keeps the apex host — the
+        # crawl admission path (`frontier.py:admit_link` P6) preserves
+        # that exact rule for oracle-replay parity; this source has no
+        # parity constraint and takes the strict gate. A malformed
+        # link whose host cannot be parsed is KEPT — the gate only
+        # excludes hosts it positively matched, so enabling an
+        # unrelated exclusion cannot silently drop unparseable rows.
+        host = F.expr("rtrim('.', lower(parse_url(link, 'HOST')))")
         excluded = F.lit(False)
         for suf in exclude_suffixes:
-            s = suf.lstrip(".")
+            s = suf.lstrip(".").lower()
             excluded = excluded | (host == s) | host.endswith("." + s)
         out = out.where(host.isNull() | ~excluded)
     return out

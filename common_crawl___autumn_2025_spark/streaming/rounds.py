@@ -383,7 +383,7 @@ def stream_first_occurrence_dedup(
     spark: SparkSession,
     sf_dir: str,
     n_files: int = 3,
-    watermark_delay: str = "60 days",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """STREAMING STATEFUL DEDUP (SURVEY §2.9's seen-set, in true
     Structured Streaming form — the crawl engine's Bloom/cuckoo seen
@@ -397,9 +397,12 @@ def stream_first_occurrence_dedup(
     The honest production contract is therefore: duplicates are
     suppressed while the key is within ``watermark_delay`` of the
     stream's max event time; a duplicate arriving beyond that horizon
-    re-admits its key. Here the delay is chosen to cover the staged
-    corpus's whole event-time span, so the output is exactly global
-    first-occurrence and the DuckDB row_number oracle value-checks it.
+    re-admits its key. The default delay is DERIVED from the batch
+    (event-time span + 1 hour — one cheap min/max agg, known before
+    staging), so the output is exactly global first-occurrence no
+    matter how wide the corpus's time range grows, and the DuckDB
+    row_number oracle value-checks it; pass ``watermark_delay`` to
+    set a real production horizon instead.
 
     Determinism: batches are staged in global (ts, event_id) order
     (``_stage_time_ordered``) and each batch is a single
@@ -413,6 +416,10 @@ def stream_first_occurrence_dedup(
     batch = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts"
     )
+    if watermark_delay is None:
+        lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span_s = int((hi - lo).total_seconds()) + 3600
+        watermark_delay = f"{span_s} seconds"
     stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_dedup")
     stream = (
         spark.readStream.schema(batch.schema)

@@ -64,14 +64,17 @@ def test_d08_randomized_corpus_matches_oracle(spark, tmp_path, texts):
 )
 @given(texts=_CORPUS)
 def test_t09_randomized_corpus_matches_oracle(spark, tmp_path, texts):
-    # cycle the generated corpus across the EVAL side (ids 0..9) and
-    # pin two known-tokenizable docs on the TRAIN side (ids 10, 11) so
-    # the train split is non-empty for EVERY generated corpus — a
-    # short or all-NULL generation must not make the test vacuous
-    texts = [texts[i % len(texts)] for i in range(10)] + [
-        "aa bb cc dd the x9",
-        "the the cc dd aa bb aa",
-    ]
+    # EVAL side (ids 0..9): the generated corpus, cycled; TRAIN side:
+    # two pinned tokenizable docs (ids 10, 11 — so a short or all-NULL
+    # generation cannot make the test vacuous) FOLLOWED by the whole
+    # generated corpus again (ids 12+), so the randomized edge cases
+    # (NULL text, empty tokens, multi-space runs) exercise the
+    # train-side gram/scoring path too, not just the eval side
+    texts = (
+        [texts[i % len(texts)] for i in range(10)]
+        + ["aa bb cc dd the x9", "the the cc dd aa bb aa"]
+        + list(texts)
+    )
     engine, oracle = _run_both(
         spark, tmp_path, texts, t09_decontaminate, _T09_ORACLE
     )
