@@ -521,3 +521,65 @@ def t09_decontaminate(spark, sf_dir):
         .withColumn("contaminated", F.col("hit_grams") > 0)
         .orderBy("doc_id")
     )
+
+
+# -- t10: PII redaction -------------------------------------------------------
+
+# conservative patterns chosen to mean the SAME thing in Java regex
+# (Spark) and RE2 (DuckDB) — agreement pytest-pinned on planted edge
+# rows; exotic constructs (lookarounds, \p classes) are deliberately
+# avoided because the two dialects diverge there
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+_T10_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       (len(regexp_extract_all(text, '{PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{PII_PHONE}'))) > 0 AS redacted
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+@register("t10_pii_redaction", _T10_ORACLE)
+def t10_pii_redaction(spark, sf_dir):
+    """PII scrubbing, the redaction pass a training corpus runs before
+    anything ships: emails and phone numbers replaced with typed
+    placeholders plus per-doc match counts and a redacted flag.
+    Pure JVM regexp_replace/regexp_extract_all — one codegen'd scan,
+    no shuffle, no Python stage; at 100 TB this is scan-bound by
+    construction. The email pattern is applied first, then phone
+    (order mirrored in the oracle — replacement order matters when a
+    phone digit span could sit inside an email local part). The sf
+    corpora contain no PII, so the catalog values check the regex
+    DIALECT agreement (Java vs RE2) on real text; the planted pytest
+    carries the redaction semantics."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ).alias("clean_text"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))
+            ).cast("long").alias("n_emails"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))
+            ).cast("long").alias("n_phones"),
+        )
+        .withColumn(
+            "redacted", (F.col("n_emails") + F.col("n_phones")) > 0
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,55 @@
+"""t10 PII redaction: planted emails/phones must be scrubbed with
+exact counts, engine ≡ DuckDB oracle on both the sf corpus (regex
+DIALECT agreement on real text) and the planted corpus (semantics)."""
+
+import duckdb
+
+from common_crawl___autumn_2025_spark.operators.textquality import (
+    _T10_ORACLE,
+    t10_pii_redaction,
+)
+
+
+def _oracle(sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet"
+        + ("/*.parquet')" if sf.startswith("/tmp") else "')")
+    )
+    return [tuple(r) for r in con.sql(_T10_ORACLE).fetchall()]
+
+
+def test_t10_engine_matches_oracle_on_sf(spark, sf_dir):
+    engine = [tuple(r) for r in t10_pii_redaction(spark, sf_dir).collect()]
+    assert engine == _oracle(sf_dir)
+    # sf word-soup has no PII: the pass must be a verified no-op there
+    assert all(not r[4] and r[2] == 0 and r[3] == 0 for r in engine)
+
+
+def test_t10_planted_pii(spark, tmp_path):
+    rows = [
+        (0, "contact me at a.b+c@ex-ample.co.uk or x@y.io today"),
+        (1, "call 555-123-4567 or 555 987 6543 now"),
+        (2, "no pii here"),
+        (3, "edge a@b.c @ not@an"),  # sub-TLD and bare @ never match
+        (4, None),
+        (5, "mixed bob@corp.org and 111-222-3333"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf + "/documents.parquet"
+    )
+    got = {r.doc_id: r for r in t10_pii_redaction(spark, sf).collect()}
+    assert set(got) == {0, 1, 2, 3, 5}  # NULL text excluded
+    assert got[0].clean_text == "contact me at <EMAIL> or <EMAIL> today"
+    assert (got[0].n_emails, got[0].n_phones, got[0].redacted) == (2, 0, True)
+    assert got[1].clean_text == "call <PHONE> or <PHONE> now"
+    assert (got[1].n_emails, got[1].n_phones) == (0, 2)
+    assert got[2].clean_text == "no pii here" and not got[2].redacted
+    assert got[3].clean_text == rows[3][1] and not got[3].redacted
+    assert got[5].clean_text == "mixed <EMAIL> and <PHONE>"
+    # engine ≡ oracle on the planted corpus too (dialect agreement on
+    # strings that actually exercise the patterns)
+    engine = [tuple(r) for r in t10_pii_redaction(spark, sf).collect()]
+    assert engine == _oracle(sf)
