@@ -159,10 +159,13 @@ def search_source(
         # link whose host cannot be parsed is KEPT — the gate only
         # excludes hosts it positively matched, so enabling an
         # unrelated exclusion cannot silently drop unparseable rows.
-        host = F.expr("rtrim('.', lower(parse_url(link, 'HOST')))")
+        host = F.expr("trim(TRAILING '.' FROM lower(parse_url(link, 'HOST')))")
         excluded = F.lit(False)
         for suf in exclude_suffixes:
-            s = suf.lstrip(".").lower()
+            # strip BOTH ends: the host side is normalized dotless, so
+            # a trailing-dot-spelled suffix ('gov.uk.') must be too or
+            # it would match nothing at all
+            s = suf.strip(".").lower()
             excluded = excluded | (host == s) | host.endswith("." + s)
         out = out.where(host.isNull() | ~excluded)
     return out

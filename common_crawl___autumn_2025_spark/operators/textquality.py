@@ -533,17 +533,22 @@ PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
 
 _T10_ORACLE = f"""
+WITH pass1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
-       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-                      '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       regexp_replace(after_email, '{PII_PHONE}', '<PHONE>', 'g')
+         AS clean_text,
        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+       CAST(len(regexp_extract_all(after_email, '{PII_PHONE}')) AS BIGINT)
          AS n_phones,
        (len(regexp_extract_all(text, '{PII_EMAIL}'))
-        + len(regexp_extract_all(text, '{PII_PHONE}'))) > 0 AS redacted
-FROM documents
-WHERE text IS NOT NULL
+        + len(regexp_extract_all(after_email, '{PII_PHONE}'))) > 0
+         AS redacted
+FROM pass1
 ORDER BY doc_id
 """
 
@@ -555,27 +560,30 @@ def t10_pii_redaction(spark, sf_dir):
     placeholders plus per-doc match counts and a redacted flag.
     Pure JVM regexp_replace/regexp_extract_all — one codegen'd scan,
     no shuffle, no Python stage; at 100 TB this is scan-bound by
-    construction. The email pattern is applied first, then phone
-    (order mirrored in the oracle — replacement order matters when a
-    phone digit span could sit inside an email local part). The sf
+    construction. Replacement is sequential (email pass, then phone
+    pass on the email-redacted text) and the COUNTS are computed on
+    the same text each pass actually rewrote — emails on the
+    original, phones on the post-email text — so n_emails/n_phones
+    equal exactly the placeholders emitted even when a phone digit
+    span abuts or sits inside an email match (counting both passes on
+    the original text would disagree with the output there). The sf
     corpora contain no PII, so the catalog values check the regex
     DIALECT agreement (Java vs RE2) on real text; the planted pytest
     carries the redaction semantics."""
+    after_email = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
     return (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select(
             "doc_id",
-            F.regexp_replace(
-                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
-                PII_PHONE,
-                "<PHONE>",
-            ).alias("clean_text"),
+            F.regexp_replace(after_email, PII_PHONE, "<PHONE>").alias(
+                "clean_text"
+            ),
             F.size(
                 F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))
             ).cast("long").alias("n_emails"),
             F.size(
-                F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))
+                F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0))
             ).cast("long").alias("n_phones"),
         )
         .withColumn(

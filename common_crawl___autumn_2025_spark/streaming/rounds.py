@@ -417,9 +417,16 @@ def stream_first_occurrence_dedup(
         "user_id", "event_type", "event_id", "ts"
     )
     if watermark_delay is None:
-        lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
-        span_s = int((hi - lo).total_seconds()) + 3600
-        watermark_delay = f"{span_s} seconds"
+        # derive from the CAST column (a string ts is tolerated
+        # downstream, so it must be here too); an empty table yields
+        # NULL bounds — any fixed delay works for an empty stream
+        ts_t = F.col("ts").cast("timestamp")
+        lo, hi = batch.agg(F.min(ts_t), F.max(ts_t)).collect()[0]
+        if lo is None:
+            watermark_delay = "1 hour"
+        else:
+            span_s = int((hi - lo).total_seconds()) + 3600
+            watermark_delay = f"{span_s} seconds"
     stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_dedup")
     stream = (
         spark.readStream.schema(batch.schema)

@@ -86,6 +86,8 @@ def test_exclude_suffix_gate(spark):
             links = [
                 "https://a.gov.uk/x",      # excluded: label boundary
                 "https://gov.uk/",         # excluded: apex
+                "https://A.GOV.UK/y",      # excluded: case-insensitive
+                "https://gov.uk./z",       # excluded: trailing-dot FQDN
                 "https://notgov.uk/",      # kept: mid-label non-match
                 "https://ok.example/",     # kept
                 "no-scheme-malformed",     # kept: host unparseable
@@ -95,20 +97,19 @@ def test_exclude_suffix_gate(spark):
                 for i, lk in enumerate(links)
             ]
 
-    q = spark.createDataFrame([("q1",)], "query string")
-    gated = search_source(
-        q, FixedClient(), top_k=5, exclude_suffixes=("gov.uk",)
-    ).collect()
-    assert sorted(r.link for r in gated) == [
+    kept = [
         "https://notgov.uk/",
         "https://ok.example/",
         "no-scheme-malformed",
     ]
-    # leading-dot spelling behaves identically (apex still excluded)
-    gated2 = search_source(
-        q, FixedClient(), top_k=5, exclude_suffixes=(".gov.uk",)
-    ).collect()
-    assert sorted(r.link for r in gated2) == sorted(r.link for r in gated)
+    q = spark.createDataFrame([("q1",)], "query string")
+    # every spelling of the exclusion — bare, leading-dot, trailing-
+    # dot, uppercase — must gate identically
+    for spelling in ("gov.uk", ".gov.uk", "gov.uk.", "GOV.UK"):
+        gated = search_source(
+            q, FixedClient(), top_k=7, exclude_suffixes=(spelling,)
+        ).collect()
+        assert sorted(r.link for r in gated) == kept, spelling
 
 
 def test_live_post_replay_equals_synthetic(spark, search_server):
