@@ -18,16 +18,21 @@ mirrors in Python) into a DuckDB CTE chain:
   single tail bytes) become ``list_reduce`` folds with the
   accumulator prepended — lambda variable binding is what keeps the
   generated SQL linear instead of exponentially nested;
-- per-byte access uses ``unicode(char)`` over ``string_split(s, '')``,
-  which equals the UTF-8 byte IFF the string is ASCII.  The engine's
-  shingle/band-signature strings are ASCII by construction of the
-  testdata (asserted by ``tests/test_dedup.py``), so the oracle is
-  exact there; a non-ASCII corpus would need a real byte extractor.
+- per-byte access is TRUE UTF-8: ``hex(encode(s))`` yields the
+  string's UTF-8 bytes as hex pairs computed once per row, and each
+  byte is decoded with two ``strpos`` lookups into the hex alphabet —
+  exact for any text (ASCII, accented, CJK), matching what Spark's
+  ``xxhash64`` hashes (the UTF8String's bytes).  Earlier rounds used
+  ``unicode(char)`` over ``string_split``, which is only byte-exact
+  for ASCII; that caveat is gone.
 
 Bit-equality with the Python mirror (itself pinned bit-exact against
 Spark by ``test_python_xxh64_matches_spark``) is tested across every
-length class (empty, <4, <8, <32, stripe boundaries, long) in
-``tests/test_dedup.py::test_duckdb_xxh64_matches_python``.
+length class (empty, <4, <8, <32, stripe boundaries, long) AND over
+non-ASCII (accented/CJK/emoji, multi-byte spans crossing stripe
+boundaries, hypothesis-generated unicode) in
+``tests/test_dedup_similarity.py::test_duckdb_xxh64_matches_python``
+and ``tests/test_nonascii_oracles.py``.
 """
 
 from __future__ import annotations
@@ -142,11 +147,20 @@ def xxh64_ctes(
         f"({_mul(_rotl(f'xor(h2, {u32p1})', 23), _P2)}"
         f" + {_P3}) % {_M}"
     )
+    # UTF-8 bytes via hex(encode(s)): hx is computed once per row in
+    # its own CTE; byte j = 16*digit(hx[2j+1]) + digit(hx[2j+2]), and
+    # n is the OCTET length (= len(hx)/2), not the character count
+    hexdig = "'0123456789ABCDEF'"
+    byte_j = (
+        f"CAST(16*(strpos({hexdig}, hx[2*j+1:2*j+1])-1)"
+        f" + (strpos({hexdig}, hx[2*j+2:2*j+2])-1) AS HUGEINT)"
+    )
     return (
-        f"""{p}0 AS MATERIALIZED (SELECT {k}, length({s_col}) AS n,
-      list_transform(string_split({s_col}, ''),
-                     c -> CAST(unicode(c) AS HUGEINT)) AS bs
+        f"""{p}x AS MATERIALIZED (SELECT {k}, hex(encode({s_col})) AS hx
     FROM {src}),
+    {p}0 AS MATERIALIZED (SELECT {k}, length(hx)//2 AS n,
+      list_transform(range(0, length(hx)//2), j -> {byte_j}) AS bs
+    FROM {p}x),
     {p}1 AS MATERIALIZED (SELECT {k}, n, bs,
       list_reduce(
         list_prepend({acc_init},
