@@ -283,8 +283,26 @@ def v03_ann_lsh_bucketed(spark, sf_dir):
 
 # -- IVF-Flat ---------------------------------------------------------------
 
-N_CELLS = 16
+N_CELLS_MIN = 16        # codebook floor (small/test corpora)
+TARGET_CELL_ROWS = 64   # expected corpus rows per cell; cells GROW
+                        # with the corpus so per-cell pair volume
+                        # stays bounded (see derived_n_cells)
 N_PROBE = 4
+
+
+def derived_n_cells(n_vectors: int) -> int:
+    """Scale-aware codebook size: ``max(floor, n // target_rows)``.
+
+    The r5 audit's one latent scale-killer was a FIXED 16-cell
+    codebook — with constant cells, v06's intra-cell self-join pair
+    volume is Σ per-cell² ≈ n²/16, quadratic again.  Deriving cells
+    from the corpus keeps expected cell size at TARGET_CELL_ROWS, so
+    pair volume is ~n·TARGET_CELL_ROWS — linear in n (SemDeDup at
+    corpus scale runs ~10^4-10^5 clusters for the same reason; at
+    10^9 vectors this rule gives ~1.6·10^7 cells).  Mirrored
+    verbatim by the oracle's subquery LIMIT in ``_CENT_ASN_CTES``."""
+    return max(N_CELLS_MIN, n_vectors // TARGET_CELL_ROWS)
+
 
 _R6_COS = (
     "floor(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
@@ -293,11 +311,14 @@ _R6_COS = (
 
 # the deterministic codebook + cell assignment as shared CTE text:
 # every centroid-cell oracle (v04 IVF, v06 semantic dedup) splices
-# this ONE definition, so the codebook rule (N_CELLS, md5 rank, cid
-# tie-break) cannot silently diverge between oracles
+# this ONE definition, so the codebook rule (derived cell count, md5
+# rank, cid tie-break) cannot silently diverge between oracles; the
+# LIMIT subquery is the SQL mirror of ``derived_n_cells``
 _CENT_ASN_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}),
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT (SELECT greatest({N_CELLS_MIN}, count(*) // {TARGET_CELL_ROWS})
+                FROM e)),
 asn AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, cent.cid,
@@ -338,18 +359,24 @@ SELECT query_id, hit_id, cosine FROM (
 """
 
 
-def md5_rank_centroids(emb: DataFrame) -> np.ndarray:
+def md5_rank_centroids(emb: DataFrame, n_cells: int | None = None) -> np.ndarray:
     """The deterministic IVF codebook: an ORDER-STABLE UNIFORM SAMPLE
-    of N_CELLS corpus vectors ranked by md5 of the vector id — unlike
-    "first N rows", insertion-order-independent, so a corpus whose
-    early rows share structure (one crawl host, one shard) cannot
-    bias the codebook. Seed-free and mirrored exactly by
-    ``_CENT_ASN_CTES``; the collect stays bounded at N_CELLS rows
+    of ``n_cells`` corpus vectors ranked by md5 of the vector id —
+    unlike "first N rows", insertion-order-independent, so a corpus
+    whose early rows share structure (one crawl host, one shard)
+    cannot bias the codebook. Seed-free and mirrored exactly by
+    ``_CENT_ASN_CTES``; the collect stays bounded at n_cells rows
     (TakeOrderedAndProject — no global sort). Shared by v04/v05/v06
-    so the codebook rule lives in exactly one place per engine."""
+    so the codebook rule lives in exactly one place per engine.
+
+    ``n_cells`` defaults to ``derived_n_cells(corpus size)`` — the
+    scale-aware rule (one metadata-cheap count job); pass it
+    explicitly to pin a codebook size."""
+    if n_cells is None:
+        n_cells = derived_n_cells(emb.count())
     rows = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CELLS)
+        .limit(n_cells)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -541,33 +568,23 @@ ORDER BY dup_id
 """
 
 
-@register("v06_semantic_dedup", _V06_ORACLE)
-def v06_semantic_dedup(spark, sf_dir):
-    """Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
-    embedding space, then mark as duplicate any vector whose cosine to
-    a LOWER-id vector in the SAME cluster is >= SEM_TAU. Each output
-    row maps a duplicate to its MINIMAL near partner (the lowest-id
-    same-cell vector within SEM_TAU) plus their cosine. The kept set
-    is exactly the ids that never appear as dup_id; note keep_id is
-    evidence of duplication, NOT a transitive canonical label — in a
-    near-dup chain (cos(1,2)>=τ, cos(2,3)>=τ, cos(1,3)<τ) vector 3's
-    keep_id is 2, itself a duplicate of 1. A consumer wanting one
-    canonical representative per duplicate GROUP composes these pairs
-    with ``dedup.dup_components`` (min-id connected components),
-    exactly as d02/d03 pairs feed d05. Unlike v02 this needs NO label
-    column — the blocking comes from the embedding geometry itself,
-    which is what an unlabeled 100 TB corpus actually has.
-
-    Reuses the shared deterministic codebook (``md5_rank_centroids``,
-    seed-free, mirrored exactly by ``_CENT_ASN_CTES`` in the oracle)
-    and the same Arrow-batched rounded-cosine assignment UDF, so cell
-    membership is bit-stable across engines. Scale shape: one
-    assignment scan (centroids broadcast in the UDF closure), one
-    self-join keyed by cell — pair volume is sum of per-cell squares,
-    never the global n²; a k-means-refined codebook (v05's
-    kmeans_refine) drops in without changing the plan."""
-    emb = load(spark, sf_dir, "embeddings")
-    cell_udf, _probes = ivf_assign_udfs(md5_rank_centroids(emb), 1)
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: np.ndarray | None = None,
+    tau: float = SEM_TAU,
+) -> DataFrame:
+    """SemDeDup core over any embeddings DataFrame: assign every
+    vector to its nearest centroid cell, then emit (dup_id, keep_id,
+    cosine) for each vector whose cosine to a LOWER-id vector in the
+    SAME cell is >= tau. ``centroids`` defaults to the deterministic
+    md5-rank codebook (scale-aware cell count); pass v05's
+    ``kmeans_refine`` output to run on a refined codebook — same
+    plan, tighter cells (the oracle stays pinned to the unrefined
+    codebook entry; the refined path is planted-corpus pytest-gated,
+    ``test_scale_cells.py::test_v06_refined_codebook``)."""
+    if centroids is None:
+        centroids = md5_rank_centroids(emb)
+    cell_udf, _probes = ivf_assign_udfs(centroids, 1)
     asn = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -588,7 +605,7 @@ def v06_semantic_dedup(spark, sf_dir):
             F.col("a.vec_id").alias("keep_id"),
             r6(cosine_udf(F.col("a.v"), F.col("b.v"))).alias("cosine"),
         )
-        .where(F.col("cosine") >= SEM_TAU)
+        .where(F.col("cosine") >= tau)
     )
     w = Window.partitionBy("dup_id").orderBy("keep_id")
     return (
@@ -597,3 +614,34 @@ def v06_semantic_dedup(spark, sf_dir):
         .select("dup_id", "keep_id", "cosine")
         .orderBy("dup_id")
     )
+
+
+@register("v06_semantic_dedup", _V06_ORACLE)
+def v06_semantic_dedup(spark, sf_dir):
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
+    embedding space, then mark as duplicate any vector whose cosine to
+    a LOWER-id vector in the SAME cluster is >= SEM_TAU. Each output
+    row maps a duplicate to its MINIMAL near partner (the lowest-id
+    same-cell vector within SEM_TAU) plus their cosine. The kept set
+    is exactly the ids that never appear as dup_id; note keep_id is
+    evidence of duplication, NOT a transitive canonical label — in a
+    near-dup chain (cos(1,2)>=τ, cos(2,3)>=τ, cos(1,3)<τ) vector 3's
+    keep_id is 2, itself a duplicate of 1. A consumer wanting one
+    canonical representative per duplicate GROUP composes these pairs
+    with ``dedup.dup_components`` (min-id connected components),
+    exactly as d02/d03 pairs feed d05. Unlike v02 this needs NO label
+    column — the blocking comes from the embedding geometry itself,
+    which is what an unlabeled 100 TB corpus actually has.
+
+    Reuses the shared deterministic codebook (``md5_rank_centroids``,
+    seed-free, SCALE-AWARE cell count via ``derived_n_cells``,
+    mirrored exactly by ``_CENT_ASN_CTES`` in the oracle) and the
+    same Arrow-batched rounded-cosine assignment UDF, so cell
+    membership is bit-stable across engines. Scale shape: one
+    assignment scan (centroids broadcast in the UDF closure), one
+    self-join keyed by cell — pair volume is Σ per-cell² ≈
+    n·TARGET_CELL_ROWS because cells grow with the corpus, never the
+    global n²; a k-means-refined codebook (v05's kmeans_refine) drops
+    into ``semantic_dedup(emb, centroids=...)`` without changing the
+    plan."""
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
