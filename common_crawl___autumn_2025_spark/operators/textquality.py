@@ -54,6 +54,23 @@ def t01_language_id(spark, sf_dir):
     )
 
 
+def quality_gate_expr(text):
+    """The t02 pass/fail gate as a reusable Column expression (shared
+    with e07's ship gate so the rule lives in exactly one place)."""
+    n_words = F.size(F.split(text, " "))
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    return n_words.between(20, 1000) & (n_punct * 10 < F.length(text))
+
+
+# the same gate as DuckDB SQL text ({x} = text expression) — spliced
+# by t02's oracle and e07's composed oracle
+QUALITY_GATE_SQL = (
+    "(len(string_split({x}, ' ')) BETWEEN 20 AND 1000"
+    " AND length(regexp_replace({x}, '[a-zA-Z0-9 ]', '', 'g')) * 10"
+    " < length({x}))"
+)
+
+
 @register(
     "t02_quality_score",
     """
@@ -88,9 +105,7 @@ def t02_quality_score(spark, sf_dir):
         F.round(
             F.length(text).cast("double") / F.greatest(n_words, F.lit(1)), 4
         ).alias("avg_word_len"),
-        (
-            n_words.between(20, 1000) & (n_punct * 10 < F.length(text))
-        ).alias("passes_quality"),
+        quality_gate_expr(text).alias("passes_quality"),
     )
 
 
@@ -532,6 +547,40 @@ def t09_decontaminate(spark, sf_dir):
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
 
+
+def redaction_cols(text):
+    """(clean_text, n_emails, n_phones) Column triple for the t10
+    redaction rule — sequential passes, each count computed on the
+    text that pass actually rewrote (see t10's docstring). Shared
+    with e07's ship gate so the redaction rule lives here only."""
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    n_emails = F.size(
+        F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))
+    ).cast("long")
+    n_phones = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0))
+    ).cast("long")
+    return clean, n_emails, n_phones
+
+
+# the same redaction as DuckDB SQL text (x = text expression) —
+# built by concatenation, NOT str.format, because the PII regexes
+# contain literal braces ({2,}); spliced by e07's oracle
+def redact_clean_sql(x: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(" + x + ", '" + PII_EMAIL
+        + "', '<EMAIL>', 'g'), '" + PII_PHONE + "', '<PHONE>', 'g')"
+    )
+
+
+def redact_count_sql(x: str) -> str:
+    return (
+        "(len(regexp_extract_all(" + x + ", '" + PII_EMAIL + "'))"
+        " + len(regexp_extract_all(regexp_replace(" + x + ", '"
+        + PII_EMAIL + "', '<EMAIL>', 'g'), '" + PII_PHONE + "')))"
+    )
+
 _T10_ORACLE = f"""
 WITH pass1 AS (
   SELECT doc_id, text,
@@ -570,21 +619,15 @@ def t10_pii_redaction(spark, sf_dir):
     corpora contain no PII, so the catalog values check the regex
     DIALECT agreement (Java vs RE2) on real text; the planted pytest
     carries the redaction semantics."""
-    after_email = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    clean, n_emails, n_phones = redaction_cols(F.col("text"))
     return (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select(
             "doc_id",
-            F.regexp_replace(after_email, PII_PHONE, "<PHONE>").alias(
-                "clean_text"
-            ),
-            F.size(
-                F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))
-            ).cast("long").alias("n_emails"),
-            F.size(
-                F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0))
-            ).cast("long").alias("n_phones"),
+            clean.alias("clean_text"),
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
         )
         .withColumn(
             "redacted", (F.col("n_emails") + F.col("n_phones")) > 0

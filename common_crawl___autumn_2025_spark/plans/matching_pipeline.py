@@ -320,3 +320,118 @@ def e06_pretraining_keepset(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _e07_oracle():
+    from ..operators.dedup import _D08_ORACLE
+    from ..operators.textquality import (
+        _T09_ORACLE,
+        _t08_oracle_sql,
+        EVAL_MAX_ID,
+        QUALITY_GATE_SQL,
+        redact_clean_sql,
+        redact_count_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id >= {EVAL_MAX_ID}
+),
+rep AS (SELECT doc_id, keep AS repetition_ok FROM ({_t08_oracle_sql()})),
+dec AS (SELECT doc_id, NOT contaminated AS decontaminated_ok
+        FROM ({_T09_ORACLE})),
+sub AS (SELECT doc_id, keep AS substring_ok FROM ({_D08_ORACLE}))
+SELECT b.doc_id,
+       {QUALITY_GATE_SQL.format(x='b.text')} AS quality_ok,
+       coalesce(rep.repetition_ok, TRUE) AS repetition_ok,
+       coalesce(dec.decontaminated_ok, TRUE) AS decontaminated_ok,
+       coalesce(sub.substring_ok, TRUE) AS substring_ok,
+       ({QUALITY_GATE_SQL.format(x='b.text')}
+        AND coalesce(rep.repetition_ok, TRUE)
+        AND coalesce(dec.decontaminated_ok, TRUE)
+        AND coalesce(sub.substring_ok, TRUE)) AS keep,
+       {redact_count_sql('b.text')} > 0 AS redacted,
+       {redact_clean_sql('b.text')} AS clean_text
+FROM base b
+LEFT JOIN rep USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+LEFT JOIN sub USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@register("e07_ship_gate", _e07_oracle())
+def e07_ship_gate(spark, sf_dir):
+    """E7: the FULL ship gate — the per-document table a curation run
+    actually writes before training data leaves the pipeline. One row
+    per training doc with every gate verdict and the shippable
+    payload: quality (t02's pass/fail), repetition (t08),
+    decontamination (t09), exact-substring duplication (d08), the
+    composed ``keep``, plus t10's PII-redacted ``clean_text`` and a
+    ``redacted`` flag. e06 answers "which docs survive the leakage
+    gates"; e07 adds the quality gate and the redacted text itself —
+    keep ∧ reasons ∧ payload in one table.
+
+    Composition discipline: the reduced verdict relations come from
+    the SAME registered operators (t08/t09/d08, identical scale
+    shapes), while the per-doc quality gate and redaction are
+    computed INLINE on the base scan via the shared expression
+    helpers (``quality_gate_expr``, ``redaction_cols`` — one
+    definition per rule, engine and SQL). Inline matters at 100 TB:
+    the wide ``clean_text`` column is derived in the scan's
+    projection and shuffles ONCE in the doc_id-keyed join of the
+    three narrow verdict tables — joining a separate t02/t10 output
+    back would shuffle the full text twice for no information."""
+    from ..operators.dedup import d08_exact_substring
+    from ..operators.textquality import (
+        EVAL_MAX_ID,
+        quality_gate_expr,
+        redaction_cols,
+        t08_repetition_filter,
+        t09_decontaminate,
+    )
+
+    clean, n_emails, n_phones = redaction_cols(F.col("text"))
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") >= EVAL_MAX_ID))
+        .select(
+            "doc_id",
+            quality_gate_expr(F.col("text")).alias("quality_ok"),
+            ((n_emails + n_phones) > 0).alias("redacted"),
+            clean.alias("clean_text"),
+        )
+    )
+    rep = t08_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("repetition_ok")
+    )
+    dec = t09_decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("decontaminated_ok")
+    )
+    sub = d08_exact_substring(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("substring_ok")
+    )
+    return (
+        base.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(sub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_ok",
+            F.coalesce("repetition_ok", F.lit(True)).alias("repetition_ok"),
+            F.coalesce("decontaminated_ok", F.lit(True)).alias(
+                "decontaminated_ok"
+            ),
+            F.coalesce("substring_ok", F.lit(True)).alias("substring_ok"),
+            (
+                F.col("quality_ok")
+                & F.coalesce("repetition_ok", F.lit(True))
+                & F.coalesce("decontaminated_ok", F.lit(True))
+                & F.coalesce("substring_ok", F.lit(True))
+            ).alias("keep"),
+            "redacted",
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
