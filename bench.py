@@ -21,6 +21,16 @@ trials are kept in the ``trial_secs`` key so no information is
 discarded, and a wall-clock budget (``SPARK_GRAFT_BENCH_BUDGET``,
 default 480s) skips extra trials rather than blow the driver's
 patience on a pathologically slow window.
+
+Load gate (r5 verdict #3): BENCH_r05 was captured under neighbor
+load 1.9-3.6 and read 13-30% high on engine-untouched queries, so
+the headline artifact now carries the same quiet-window gate the
+scaling evidence uses — launch waits for a 1-min load average under
+``SPARK_GRAFT_BENCH_MAX_LOAD`` (default 0.5, bounded by ``SPARK_
+GRAFT_BENCH_GATE_TIMEOUT``, default 900 s, then measures anyway),
+and the output records the 1/5/15-min loads at start and end plus a
+``load_clean`` verdict so a dirty capture is self-identifying
+instead of requiring forensics.
 """
 
 from __future__ import annotations
@@ -98,9 +108,26 @@ def bench_crawl(spark, partitions: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def wait_for_quiet() -> tuple[float, bool]:
+    """Block until the 1-min load average is under the gate (or the
+    timeout passes), mirroring bench_scaling.py's per-trial gate.
+    Returns (load_at_release, gate_satisfied)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.5"))
+    timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_TIMEOUT", "900"))
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load <= max_load:
+            return load, True
+        time.sleep(15)
+    return os.getloadavg()[0], False
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    gate_load, gated = wait_for_quiet()
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
     # warmup: JVM/codegen/Arrow channels
@@ -140,6 +167,12 @@ def main():
         sum(s for n, s in timings.items() if n not in ADDED_R5), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_end = tuple(round(x, 2) for x in os.getloadavg())
+    # the bench's own work dominates loadavg once it runs, so
+    # cleanliness is judged at LAUNCH: the 1-min gate was satisfied
+    # AND the 15-min residual (neighbor history; r5's dirty capture
+    # had 5/15-min residuals of 2-3) was low
+    load_clean = bool(gated and load_start[2] <= 2.0)
     print(
         json.dumps(
             {
@@ -153,6 +186,13 @@ def main():
                 "cpus": cpus,
                 "trials": len(crawl_runs),
                 "trial_secs": trial_secs,
+                "load_gate": {
+                    "gate_satisfied": gated,
+                    "load_at_release": round(gate_load, 2),
+                    "loadavg_start": load_start,
+                    "loadavg_end": load_end,
+                },
+                "load_clean": load_clean,
             }
         )
     )
