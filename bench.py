@@ -64,11 +64,15 @@ HEADLINE = [
     "m01_records_decode_verify",  # image decode/verify pipeline
     "d08_exact_substring",        # chunk-level exact-substring dedup (r5+)
     "v06_semantic_dedup",         # centroid-blocked semantic dedup (r5+)
+    "t11_bm25_topk",              # BM25 ranked retrieval (r6+)
+    "w07_session_window_native",  # native session_window rollup (r6+)
 ]
 
 # queries added to HEADLINE after round 4 — excluded from the
 # like-for-like total so cross-round comparisons stay valid
 ADDED_R5 = {"d08_exact_substring", "v06_semantic_dedup"}
+ADDED_R6 = {"t11_bm25_topk", "w07_session_window_native"}
+_POST_R4 = ADDED_R5 | ADDED_R6
 
 
 def bench_crawl(spark, partitions: int) -> dict:
@@ -164,7 +168,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     total_r4_set = round(
-        sum(s for n, s in timings.items() if n not in ADDED_R5), 3
+        sum(s for n, s in timings.items() if n not in _POST_R4), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_end = tuple(round(x, 2) for x in os.getloadavg())

@@ -10,6 +10,7 @@ from . import graph  # noqa: F401
 from . import html_nested  # noqa: F401
 from . import matching_pipeline  # noqa: F401
 from . import relational  # noqa: F401
+from . import retrieval  # noqa: F401
 from . import sources_catalog  # noqa: F401
 from ..operators import dedup  # noqa: F401
 from ..operators import multimodal  # noqa: F401
