@@ -101,10 +101,11 @@ _BM25_ORACLE = f"""
 def t11_bm25_topk(spark, sf_dir):
     """BM25 top-k retrieval (k1=1.2, b=0.75) for a constant query set.
 
-    100 TB shape: the token explosion is filtered by a BROADCAST semi
-    join on the query-term set before any shuffle, so the wide agg
-    keys are (doc_id, query_term) postings only — a tiny fraction of
-    the corpus token stream. Corpus stats (N, avgdl) are one scalar
+    100 TB shape: the query-term gate is applied inside the token
+    array BEFORE explode, so the corpus token stream is never
+    materialized as rows — explode emits (doc_id, query_term)
+    postings only, and the wide agg keys are those postings — a tiny
+    fraction of the token stream. Corpus stats (N, avgdl) are one scalar
     aggregate broadcast-hash-joined back on a derived constant key
     (never a BNLJ); df is a window count over the already-filtered
     postings (|terms| partitions), computed in the SAME pass. No Python
@@ -125,14 +126,22 @@ def t11_bm25_topk(spark, sf_dir):
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    # dl rides along with the postings (one scan, no doc_id re-join)
+    # dl rides along with the postings (one scan, no doc_id re-join).
+    # The query-term gate is applied INSIDE the array, before explode:
+    # the catalog workload's term set is a compile-time constant, so
+    # the non-matching tokens (≈ the whole corpus token stream) are
+    # never materialized as rows at all — explode emits matches only.
+    # For a runtime-dynamic query set the same shape holds with the
+    # broadcast semi join placed directly after the explode instead.
+    all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     tf = (
         docs.select(
             "doc_id",
             F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(all_terms))
+            ).alias("term"),
         )
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )

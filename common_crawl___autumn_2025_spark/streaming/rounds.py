@@ -460,3 +460,130 @@ def stream_first_occurrence_dedup(
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(work_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name} ORDER BY user_id, event_type")
+
+
+# -- st06: streaming session windows ------------------------------------------
+
+
+def _w07_oracle() -> str:
+    # shared with the batch twin — one definition of the merge rule
+    from ..plans.retrieval import _W07_ORACLE
+
+    return _W07_ORACLE
+
+
+@register("st06_streaming_sessions", _w07_oracle())
+def st06_streaming_sessions(spark, sf_dir):
+    """Catalog face of STREAMING session windows: a TRUE Structured
+    Streaming run (3 micro-batches, ``session_window`` state merged
+    across them, watermark-finalized append output) defined to equal
+    the batch ``session_window`` rollup — so it shares w07's
+    gaps-and-islands DuckDB oracle and is fully value-checked."""
+    return stream_session_windows(spark, sf_dir)
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    n_files: int = 3,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAMING SESSION AGGREGATION (SURVEY §2.9): per-(user,
+    session) rollups via ``session_window`` under a watermark, in
+    APPEND mode — each session is emitted exactly once, when the
+    watermark passes its end. This is the production shape for
+    sessionizing an unbounded event stream: state holds only OPEN
+    sessions (bounded by gap + delay), merges happen inside the
+    streaming state store across micro-batches, and downstream
+    consumers see finalized sessions incrementally.
+
+    Batch-equality contract (what the oracle checks): batches are
+    staged in global (ts, event_id) order (``_stage_time_ordered``),
+    so no event is ever late and every session merge the batch twin
+    (w07) performs also happens in streaming state. An availableNow
+    drain stops advancing the watermark at ``max_ts - delay``, which
+    would leave the tail sessions open and unemitted — so the stage
+    appends one SENTINEL event (``user_id = -1``, filtered from the
+    result) whose timestamp clears every real session end plus the
+    delay; it models the stream simply continuing past the staged
+    data, which is what finalizes sessions in production too. Session
+    extent is closed at its end (an exactly-gap-distant event merges
+    — pinned by the batch twin's boundary test), and the streaming
+    operator shares that rule, so both twins share one oracle."""
+    import datetime as _dt
+    import os
+    import shutil
+
+    batch = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_sess")
+    try:
+        hi = batch.agg(F.max("ts")).collect()[0][0]
+        flush_ts = (hi or _dt.datetime(2000, 1, 1)) + _dt.timedelta(
+            hours=2  # > gap (30 min) + delay (10 min), with margin
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, -1, flush_ts, 0.0)],
+            "user_id long, event_id long, ts timestamp_ntz, value double",
+        ).select(*batch.columns)
+        part = os.path.join(work_dir, "flush")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(stage_dir, f"{n_files + 1:03d}.parquet")
+        shutil.copyfile(os.path.join(part, src), dst)
+        mt = (
+            max(
+                os.path.getmtime(os.path.join(stage_dir, f))
+                for f in os.listdir(stage_dir)
+            )
+            + 1.0
+        )
+        os.utime(dst, (mt, mt))
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage_dir)
+        )
+        sessions = (
+            stream.withColumn("ts_t", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_t", watermark_delay)
+            .groupBy(F.session_window(F.col("ts_t"), gap).alias("sw"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.min("event_id").cast("long").alias("first_event"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                "total_value",
+                "first_event",
+            )
+        )
+        name = "stream_session_windows_sink"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # timed out: the drain is incomplete and the sink holds a
+            # PARTIAL session set — stop and fail loudly
+            q.stop()
+            raise TimeoutError(
+                "session-window stream did not drain within 300s"
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    # the sentinel's own session never finalizes (the watermark stops
+    # short of it) but filter defensively either way
+    return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
