@@ -495,3 +495,96 @@ def m06_image_dup_groups(spark, sf_dir):
         )
         .orderBy("group_id", "image_id")
     )
+
+
+# -- m07: ViT-style patch extraction ------------------------------------------
+
+PATCH = 8  # patch side in pixels (ViT-style non-overlapping grid)
+
+PATCH_SCHEMA = (
+    "image_id string, prow int, pcol int, mean_r double, mean_g double, "
+    "mean_b double, patch_std double, patch_hash long"
+)
+
+
+def extract_patches(records, patch: int = PATCH):
+    """records DF -> one row per non-overlapping ``patch`` x ``patch``
+    tile (mapInPandas): grid position, per-channel means, in-patch
+    std, and an 8-byte content hash of the raw tile bytes.
+
+    This is the patchification stage of a vision-training pipeline
+    (ViT tokenization): downstream consumers need per-patch tensors,
+    and the content hash makes PATCH-level exact dedup a plain
+    hash-groupBy with no pixel shuffle — the patch analogue of d01's
+    digest-only shape. Incomplete edge tiles are cropped (ViT
+    semantics: resize/crop upstream decides coverage); undecodable
+    payloads contribute zero rows instead of failing the job.
+
+    100 TB shape: one Arrow-batched decode pass, pixels never leave
+    the task that decoded them — only O(HW/P^2) scalar rows per image
+    flow out, so the exchange after this operator carries statistics
+    and 8-byte digests, never image tensors. Per-image work is
+    vectorized (one reshape + mean/std over the tile axes); the only
+    per-tile Python is the digest, on P*P*3 = 192-byte blocks.
+    """
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(bytes(row.bytes), row.fmt)
+                except Exception:  # noqa: BLE001 — flag-free skip
+                    continue
+                h, w = img.shape[:2]
+                gh, gw = h // patch, w // patch
+                if gh == 0 or gw == 0:
+                    continue
+                crop = img[: gh * patch, : gw * patch]
+                grid = crop.reshape(gh, patch, gw, patch, 3)
+                means = grid.astype(np.float64).mean(axis=(1, 3))
+                stds = grid.astype(np.float64).std(axis=(1, 3, 4))
+                for i in range(gh):
+                    for j in range(gw):
+                        block = crop[
+                            i * patch : (i + 1) * patch,
+                            j * patch : (j + 1) * patch,
+                        ]
+                        digest = hashlib.md5(block.tobytes()).digest()[:8]
+                        out.append(
+                            {
+                                "image_id": row.image_id,
+                                "prow": i,
+                                "pcol": j,
+                                "mean_r": round(float(means[i, j, 0]), 4),
+                                "mean_g": round(float(means[i, j, 1]), 4),
+                                "mean_b": round(float(means[i, j, 2]), 4),
+                                "patch_std": round(float(stds[i, j]), 4),
+                                "patch_hash": int.from_bytes(
+                                    digest, "big", signed=True
+                                ),
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "prow", "pcol", "mean_r", "mean_g",
+                    "mean_b", "patch_std", "patch_hash",
+                ],
+            )
+
+    return records.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+@register("m07_image_patches")  # rows-only: binary payloads
+def m07_image_patches(spark, sf_dir):
+    """Patchify the canonical record table: decode every payload and
+    emit the ViT-style 8x8 patch grid (position, channel means, std,
+    content hash) — the tokenization stage of an image training
+    pipeline. Rows-only for the oracle harness (pixels are not
+    SQL-expressible); geometry, reconstruction, duplicate-detection,
+    and parallelism-invariance are pytest-gated
+    (tests/test_image_patches.py)."""
+    records = syn.records_df(spark, N_RECORDS, seed=42)
+    return extract_patches(records).orderBy("image_id", "prow", "pcol")

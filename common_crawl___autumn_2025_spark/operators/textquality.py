@@ -634,3 +634,111 @@ def t10_pii_redaction(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# -- t12: corpus-fit unigram log-probability quality score --------------------
+
+T12_VOCAB_K = 16  # vocab cap — sf vocab is ~31 tokens, so OOV is exercised
+
+
+_T12_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    cnt AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+    vocab AS (
+      SELECT term, ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)) AS lp
+      FROM cnt ORDER BY c DESC, term ASC LIMIT {T12_VOCAB_K}
+    ),
+    agg AS (
+      SELECT tk.doc_id,
+             count(*) AS n_toks,
+             sum(CASE WHEN v.term IS NULL THEN 0.0 ELSE v.lp END) AS s_iv,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tk LEFT JOIN vocab v ON tk.term = v.term
+      GROUP BY tk.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_toks AS INT) AS n_toks,
+           round((s_iv + n_oov * ln(1.0 / (SELECT n FROM tot))) / n_toks,
+                 4) AS logprob_avg,
+           round(CAST(n_oov AS DOUBLE) / n_toks, 4) AS oov_ratio
+    FROM agg
+"""
+
+
+@register("t12_unigram_logprob", _T12_ORACLE)
+def t12_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring: fit a capped-vocabulary unigram
+    model ON the corpus, then score every document by its mean token
+    log-probability — the LM-perplexity quality filter of a
+    training-data pipeline (the CCNet-style stage; here the model is
+    corpus-fit so the operator is self-contained and value-oracled).
+
+    Model: the top-K tokens (K = T12_VOCAB_K) by (count DESC, token
+    ASC) get lp = ln(c/N); everything else scores the OOV floor
+    ln(1/N). Output per doc: token count, mean logprob, OOV ratio
+    (both rounded so the Spark/DuckDB float summation order cannot
+    flip the hash).
+
+    100 TB shape: two passes over the token stream, both shuffle-lean.
+    Pass 1 (model fit) is a partial-agg count by term whose output is
+    vocab-sized; the cap (64k in production, 16 here so the sf
+    corpora exercise OOV) keeps the model a guaranteed broadcast.
+    Pass 2 (scoring) is explode -> BROADCAST left join (no shuffle,
+    skew-immune: stopwords hit a broadcast hash table) -> one per-doc
+    partial agg. The scalar total N joins on a column-derived always-0
+    key (e03's pattern) at VOCAB and DOC granularity only — never onto
+    the token stream. At corpus scale pass 1 runs on a t06-style
+    hash-gate sample instead of the full corpus; the catalog entry
+    fits on everything so the oracle is exact.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n")).withColumn(
+        "__k", F.pmod(F.col("n"), F.lit(1.0)).cast("int")
+    )
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), F.col("term"))
+        .limit(T12_VOCAB_K)
+        .withColumn("__k", F.pmod(F.col("c"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "term",
+            F.log(F.col("c").cast("double") / F.col("n")).alias("lp"),
+        )
+    )
+    agg = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce(F.col("lp"), F.lit(0.0))).alias("s_iv"),
+            F.sum(
+                F.when(F.col("lp").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn("__k", F.pmod(F.col("n_toks"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "__k")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.round(
+            (
+                F.col("s_iv")
+                + F.col("n_oov") * F.log(F.lit(1.0) / F.col("n"))
+            )
+            / F.col("n_toks"),
+            4,
+        ).alias("logprob_avg"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_toks"), 4
+        ).alias("oov_ratio"),
+    )
