@@ -588,3 +588,101 @@ def m07_image_patches(spark, sf_dir):
     (tests/test_image_patches.py)."""
     records = syn.records_df(spark, N_RECORDS, seed=42)
     return extract_patches(records).orderBy("image_id", "prow", "pcol")
+
+
+# -- m08: bilinear resize -----------------------------------------------------
+
+RESIZE_TO = 16  # output side (square), the thumbnail/normalize target
+
+RESIZE_SCHEMA = (
+    "image_id string, in_w int, in_h int, out_w int, out_h int, "
+    "mean_r double, mean_g double, mean_b double, resize_hash long"
+)
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample to (out_h, out_w, 3), half-pixel-center
+    convention (align_corners=False, the OpenCV/PIL default): source
+    coord x = (i + 0.5) * in/out - 0.5, edge-clamped. Fully
+    vectorized; when in == out this is an exact identity (x lands on
+    integer centers), which the tests pin."""
+    h, w = img.shape[:2]
+    # multiply-then-divide: the canonical (i + 0.5) * in / out - 0.5
+    # float-op order, kept bit-identical to the per-pixel reference
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_records(records, out_h: int = RESIZE_TO, out_w: int = RESIZE_TO):
+    """records DF -> one row per image with the resized thumbnail's
+    channel means and content hash (mapInPandas). The resize/normalize
+    stage of an image training pipeline: models consume fixed-shape
+    tensors, the crawl yields arbitrary dims.
+
+    100 TB shape: decode + resample + reduce in ONE Arrow pass —
+    what leaves the task is a fixed-width scalar row per image
+    (stats + an 8-byte digest of the resized tensor), so downstream
+    exact-dedup ON THE NORMALIZED IMAGE (the hash catches
+    re-encodes/crops-to-same-thumb) is a plain hash-groupBy.
+    Undecodable payloads are skipped, never fatal."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(bytes(row.bytes), row.fmt)
+                except Exception:  # noqa: BLE001 — skip, don't crash
+                    continue
+                small = bilinear_resize(img, out_h, out_w)
+                digest = hashlib.md5(small.tobytes()).digest()[:8]
+                m = small.astype(np.float64).mean(axis=(0, 1))
+                out.append(
+                    {
+                        "image_id": row.image_id,
+                        "in_w": int(img.shape[1]),
+                        "in_h": int(img.shape[0]),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "mean_r": round(float(m[0]), 4),
+                        "mean_g": round(float(m[1]), 4),
+                        "mean_b": round(float(m[2]), 4),
+                        "resize_hash": int.from_bytes(
+                            digest, "big", signed=True
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "in_w", "in_h", "out_w", "out_h",
+                    "mean_r", "mean_g", "mean_b", "resize_hash",
+                ],
+            )
+
+    return records.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+@register("m08_image_resize")  # rows-only: binary payloads
+def m08_image_resize(spark, sf_dir):
+    """Bilinear-resize every decoded payload to the fixed
+    normalization target (16x16) and emit the thumbnail's stats +
+    content hash — the resize stage of SURVEY §2.10's decode /
+    feature-extract / resize family. Rows-only (pixels are not
+    SQL-expressible); the resample kernel itself is pytest-pinned
+    against an independent per-pixel reference implementation
+    (tests/test_image_resize.py)."""
+    records = syn.records_df(spark, N_RECORDS, seed=42)
+    return resize_records(records).orderBy("image_id")

@@ -587,3 +587,92 @@ def stream_session_windows(
     # the sentinel's own session never finalizes (the watermark stops
     # short of it) but filter defensively either way
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
+
+
+# -- st07: stream-static broadcast join ---------------------------------------
+
+_ST07_ORACLE = """
+    SELECT e.event_id, e.user_id,
+           c.c_mktsegment AS segment,
+           round(e.value, 4) AS value,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("st07_stream_static_join", _ST07_ORACLE)
+def st07_stream_static_join(spark, sf_dir):
+    """Catalog face of the STREAM-STATIC JOIN: a TRUE Structured
+    Streaming run (3 micro-batches) enriching each event with a
+    static dimension via a per-micro-batch broadcast hash join,
+    defined to equal the batch equi join — fully value-checked."""
+    return stream_static_enrich(spark, sf_dir)
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """STREAM-STATIC JOIN (SURVEY §2.9): enrich an unbounded event
+    stream with a static dimension table — the lookup-join every
+    streaming pipeline runs (events x user profile, URL x domain
+    reputation). Spark executes it per micro-batch with the static
+    side BROADCAST: stateless, so there is NO state store at all —
+    unlike stream-stream joins, nothing accumulates, and the inner
+    join emits each enriched event exactly once in append mode.
+
+    100 TB/day shape: the stream side never shuffles (the dim
+    broadcasts to every task); a dim too big to broadcast degrades to
+    a shuffled join per micro-batch, at which point the production
+    answer is pre-bucketing the dim on the join key or a key-value
+    side-input — the operator's contract (row-for-row enrichment,
+    exactly-once append) is unchanged. Batch equality is exact: no
+    watermark, no state, no ordering sensitivity, so the DuckDB
+    oracle is the plain equi join."""
+    import os
+    import shutil
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_enrich")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage_dir)
+        )
+        enriched = (
+            stream.join(
+                F.broadcast(dim),
+                stream["user_id"] == dim["c_custkey"],
+                "inner",
+            )
+            .select(
+                "event_id",
+                "user_id",
+                F.col("c_mktsegment").alias("segment"),
+                F.round("value", 4).alias("value"),
+                F.round("c_acctbal", 2).alias("acctbal"),
+            )
+        )
+        name = "stream_static_join_sink"
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream-static join did not drain within 300s"
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name} ORDER BY event_id")

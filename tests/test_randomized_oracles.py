@@ -80,3 +80,25 @@ def test_t09_randomized_corpus_matches_oracle(spark, tmp_path, texts):
     )
     assert engine == oracle
     assert len(engine) >= 2  # the pinned train docs are always scored
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_t12_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    """t12's model fit (top-K with tie-break), OOV floor, and rounded
+    averages must agree with DuckDB on arbitrary corpora — including
+    all-empty docs (zero tokens -> no output row), NULLs, and vocab
+    smaller than the cap."""
+    from common_crawl___autumn_2025_spark.operators.textquality import (
+        _T12_ORACLE,
+        t12_unigram_logprob,
+    )
+
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, t12_unigram_logprob, _T12_ORACLE
+    )
+    assert sorted(engine) == sorted(oracle)
