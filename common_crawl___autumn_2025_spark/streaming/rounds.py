@@ -676,3 +676,120 @@ def stream_static_enrich(
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(work_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name} ORDER BY event_id")
+
+
+# -- st08: stream-stream interval join ----------------------------------------
+
+_ST08_ORACLE = """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT)
+             - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_s
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+"""
+
+
+@register("st08_stream_stream_join", _ST08_ORACLE)
+def st08_stream_stream_join(spark, sf_dir):
+    """Catalog face of the STREAM-STREAM INTERVAL JOIN: a TRUE
+    Structured Streaming run joining two event streams (clicks x
+    views, same user, click within 4 h after the view) with
+    watermark-bounded buffered state — defined to equal the batch
+    interval self-join, so it is fully value-checked."""
+    return stream_stream_attribution(spark, sf_dir)
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    horizon: str = "4 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM JOIN (SURVEY §2.9): attribute each click to the
+    views that preceded it within ``horizon`` for the same user —
+    the ad-attribution / funnel join, the canonical stateful
+    two-stream operator. Spark buffers BOTH sides in the state store
+    and the time-range condition plus the watermarks bound eviction:
+    a view is held only until the watermark passes ``view.ts +
+    horizon`` (no later click can match it), a click only until the
+    watermark passes its own timestamp — state is O(events inside
+    the horizon), not O(stream).
+
+    Batch-equality contract: both sides read the SAME staged
+    event-time-ordered files (one streaming query, two file sources —
+    each trigger advances both), so no row is ever late; inner-join
+    results emit as matches arrive (append mode needs no watermark
+    wait for INNER joins), and the drain therefore produces exactly
+    the batch interval join — the DuckDB oracle."""
+    import os
+    import shutil
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_attr")
+    try:
+
+        def src():
+            return (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(stage_dir)
+            )
+
+        clicks = (
+            src()
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").cast("timestamp").alias("c_ts"),
+            )
+            .withWatermark("c_ts", watermark_delay)
+        )
+        views = (
+            src()
+            .where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").cast("timestamp").alias("v_ts"),
+            )
+            .withWatermark("v_ts", watermark_delay)
+        )
+        joined = clicks.join(
+            views,
+            F.expr(
+                "c_user = v_user AND v_ts <= c_ts "
+                f"AND c_ts <= v_ts + interval {horizon}"
+            ),
+            "inner",
+        ).select(
+            "click_id",
+            "view_id",
+            F.col("c_user").alias("user_id"),
+            (
+                F.col("c_ts").cast("long") - F.col("v_ts").cast("long")
+            ).alias("lag_s"),
+        )
+        name = "stream_stream_join_sink"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream-stream join did not drain within 300s"
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name} ORDER BY click_id, view_id")
