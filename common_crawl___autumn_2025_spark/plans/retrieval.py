@@ -254,3 +254,60 @@ def w07_session_window_native(spark, sf_dir):
             "first_event",
         )
     )
+
+
+# -- w08: sliding event-time windows ------------------------------------------
+
+_W08_ORACLE = """
+    WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, e.ts)
+               - k.k * INTERVAL 15 MINUTE AS window_start,
+             e.event_type, e.value
+      FROM events e, k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM w
+    GROUP BY window_start, event_type
+"""
+
+
+@register("w08_sliding_window", _W08_ORACLE)
+def w08_sliding_window(spark, sf_dir):
+    """SLIDING event-time windows via the native ``F.window(ts, '1
+    hour', '15 minutes')`` — each event lands in exactly
+    window/slide = 4 overlapping windows (the rate/trend shape:
+    hourly metrics refreshed every 15 minutes). Complements st01's
+    tumbling spelling; the same operator runs unchanged under
+    readStream with a watermark.
+
+    100 TB shape: Spark expands each row to its 4 window assignments
+    BEFORE the exchange, then partial-aggregates map-side — the
+    shuffle carries (window, type) partial sums, not the 4x event
+    stream, so slide granularity changes output cardinality, not
+    shuffle volume. The DuckDB oracle mirrors the expansion
+    explicitly (a 4-row offset relation against 15-minute
+    time_buckets; DuckDB's time_bucket origin 2000-01-03 and Spark's
+    epoch origin agree at 15-minute granularity)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

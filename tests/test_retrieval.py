@@ -115,3 +115,38 @@ def test_w07_gap_boundary_semantics(spark, boundary_events):
     assert out == _oracle_rows(
         _W07_ORACLE, {"events": f"{sf}/events.parquet"}
     )
+
+
+def test_w08_sliding_window_semantics(spark, tmp_path):
+    """Every event lands in EXACTLY window/slide = 4 windows; an
+    event precisely on a slide boundary starts its own window
+    (end-exclusive: it does NOT appear in the window ending at its
+    timestamp)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 4, 1, 12, 0, 0)  # exact 15-min boundary
+    rows = [
+        (0, base, 1, "click", 1.0, None),
+        (1, base + dt.timedelta(minutes=7), 1, "click", 2.0, None),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(sf + "/events.parquet")
+
+    from common_crawl___autumn_2025_spark.plans.retrieval import (
+        w08_sliding_window,
+    )
+
+    out = w08_sliding_window(spark, sf).collect()
+    # 2 events x 4 windows, but they share 12:00/11:45-started windows
+    assert sum(r.n for r in out) == 8
+    starts_with_both = [r for r in out if r.n == 2]
+    assert len(starts_with_both) == 4  # the 4 shared windows
+    # end-exclusive: no window ENDING at 12:00 contains the base event
+    for r in out:
+        assert r.window_end > base
+    # the latest window containing base starts exactly at 12:00
+    assert max(r.window_start for r in out) == base
