@@ -268,3 +268,94 @@ def s12_search_source(spark, sf_dir):
     return search_source(
         queries, SyntheticSearchClient(), top_k=3
     ).orderBy("query", "position")
+
+
+_S13_ORACLE = """
+    SELECT * FROM (
+      SELECT 'crawl_word_count_distribution' AS figure, 'bar' AS kind,
+             (SELECT CAST(count(*) AS INT) FROM (
+                SELECT DISTINCT
+                  least(CAST(len(string_split(text, ' ')) AS INT) // 20, 19)
+                FROM documents)) AS n_points
+      UNION ALL
+      SELECT 'events_top_types', 'bar',
+             (SELECT CAST(least(count(DISTINCT event_type), 10) AS INT)
+              FROM events)
+      UNION ALL
+      SELECT 'orders_year_series', 'line',
+             (SELECT CAST(count(DISTINCT year(o_orderdate)) AS INT)
+              FROM orders)
+    ) ORDER BY figure
+"""
+
+
+@register("s13_figure_sink", _S13_ORACLE)
+def s13_figure_sink(spark, sf_dir):
+    """S13 figure sink (ref Visuals.py:31-34 savefig + the chart
+    cells): render the reference's three chart shapes — word-count
+    histogram (histplot, Visuals.py:121-129), top-k category bars
+    (value_counts().head().plot(kind='bar'), Visuals.py:150-158),
+    and a year count series (sort_index().plot(), Visuals.py:81-88)
+    — over the engine's tables, as deterministic SVG files
+    (``sources/figures.py``; matplotlib does not ship here and the
+    semantics are 'persist a figure artifact of an aggregate', not
+    'rasterize').
+
+    100 TB shape: each figure consumes a DISTRIBUTIVELY computed
+    aggregate (histogram bins / top-k counts / year rollup — a11,
+    a04, a12's plan shapes) and only the reduced relation is ever
+    collected, guarded by ``MAX_POINTS``. Returns the manifest the
+    sink wrote, which IS value-oracled (chart point counts are pure
+    SQL); byte-level determinism of the SVGs is pytest-pinned
+    (tests/test_figures.py)."""
+    import tempfile
+
+    from ..sources.figures import save_figure
+
+    out_dir = tempfile.mkdtemp(prefix="figures_")
+    docs = load(spark, sf_dir, "documents")
+    wc_bins = (
+        docs.select(
+            F.least(
+                (F.size(F.split("text", " ")) / 20).cast("int"), F.lit(19)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("label", (F.col("bin") * 20).cast("string"))
+        .orderBy("bin")
+    )
+    top_types = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(10)
+    )
+    years = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("yr")
+    )
+    rows = [
+        save_figure(
+            wc_bins, "bar", "label", "cnt",
+            "Crawl word count distribution",
+            f"{out_dir}/crawl_word_count_distribution.svg",
+        ),
+        save_figure(
+            top_types, "bar", "event_type", "cnt",
+            "Top event types",
+            f"{out_dir}/events_top_types.svg",
+        ),
+        save_figure(
+            years, "line", "yr", "cnt",
+            "Orders per year",
+            f"{out_dir}/orders_year_series.svg",
+        ),
+    ]
+    return spark.createDataFrame(
+        [(r["figure"], r["kind"], r["n_points"]) for r in rows],
+        "figure string, kind string, n_points int",
+    ).orderBy("figure")
