@@ -8,9 +8,12 @@ SQL-expressible) and is additionally pytest-asserted.
 
 Decode for png/ppm/jpeg is REAL (own codecs — jpeg covers baseline
 AND progressive SOF2, 4:4:4/4:2:2/4:2:0 sampling; see ``jpeg.py``).
-Modalities the runtime genuinely cannot decode (audio, video —
-no media libraries ship in this environment) flow through the same
-plumbing and are row-flagged, never crash the job.
+Video frame-sampling (m09) is real too, over the engine's own
+seekable SVID container of length-prefixed PPM frames; compressed
+video codecs proper (H.264 etc. — no media libraries ship in this
+environment) would slot in behind the same decode-per-frame seam,
+and payloads in formats the runtime cannot decode flow through the
+same plumbing row-flagged, never crashing the job.
 """
 
 from __future__ import annotations
@@ -686,3 +689,152 @@ def m08_image_resize(spark, sf_dir):
     (tests/test_image_resize.py)."""
     records = syn.records_df(spark, N_RECORDS, seed=42)
     return resize_records(records).orderBy("image_id")
+
+
+# -- m09: video container + frame sampling ------------------------------------
+
+VIDEO_MAGIC = b"SVID"
+N_VIDEOS = 48
+FRAME_STRIDE = 3
+
+FRAME_SCHEMA = (
+    "video_id string, frame_idx int, n_frames int, mean_r double, "
+    "mean_g double, mean_b double, frame_hash long"
+)
+
+
+def encode_video(frames) -> bytes:
+    """Serialize RGB frames as the engine's video container: magic,
+    big-endian u32 frame count, then length-prefixed binary-PPM
+    frames. A REAL (if minimal) container — the frame-sample
+    operator parses and decodes it, nothing is stubbed; video codecs
+    proper (no media libraries ship here) would slot in behind the
+    same ``decode_image``-per-frame seam."""
+    from ..codecs import encode_image
+
+    out = [VIDEO_MAGIC, len(frames).to_bytes(4, "big")]
+    for f in frames:
+        ppm = encode_image(f, "ppm")
+        out.append(len(ppm).to_bytes(4, "big"))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_video_frames(data: bytes, stride: int = 1):
+    """Yield (frame_idx, pixels) for every ``stride``-th frame.
+    Parsing SKIPS unsampled frames by their length prefix — the
+    container is seekable, so sampling cost is O(sampled frames),
+    not O(stream), the property frame-sampling exists to exploit."""
+    from ..codecs import decode_image
+
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an SVID container")
+    n = int.from_bytes(data[4:8], "big")
+    off = 8
+    for i in range(n):
+        flen = int.from_bytes(data[off : off + 4], "big")
+        off += 4
+        if i % stride == 0:
+            yield i, decode_image(data[off : off + flen], "ppm")
+        off += flen
+
+
+def make_video_record(video_id: str, key: int, n_frames: int = 8) -> dict:
+    """Deterministic synthetic video: frame j's pixels derive from
+    (key, j) via the same generator the image corpus uses."""
+    frames = [
+        syn.make_image(syn.h64(key, "frame", j), min_side=8, max_side=16)
+        for j in range(n_frames)
+    ]
+    return {
+        "video_id": video_id,
+        "bytes": encode_video(frames),
+        "n_frames": n_frames,
+    }
+
+
+def videos_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed synthetic video table (spark.range -> mapInPandas,
+    rows derived independently from (seed, id) — same scaling shape
+    as records_df)."""
+    base = spark.range(
+        0, n, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                make_video_record(
+                    f"vid{int(i):06d}", syn.h64(seed, "video", int(i))
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, schema="video_id string, bytes binary, n_frames int"
+    )
+
+
+def sample_frames(videos, stride: int = FRAME_STRIDE):
+    """videos DF -> one row per SAMPLED frame (mapInPandas): index,
+    channel means, 8-byte content hash — the frame-sample stage of a
+    video training pipeline (§2.10 decode / feature-extract / resize
+    / frame-sample family).
+
+    100 TB shape: sampling happens INSIDE the task against the
+    seekable container (unsampled frames are skipped by length
+    prefix, never decoded), and only O(n_frames / stride) scalar
+    rows leave the decode pass — the exchange carries statistics and
+    digests, not frames. Corrupt containers contribute zero rows."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    frames = list(
+                        decode_video_frames(bytes(row.bytes), stride)
+                    )
+                except Exception:  # noqa: BLE001 — skip, don't crash
+                    continue
+                for idx, px in frames:
+                    m = px.astype(np.float64).mean(axis=(0, 1))
+                    digest = hashlib.md5(px.tobytes()).digest()[:8]
+                    out.append(
+                        {
+                            "video_id": row.video_id,
+                            "frame_idx": idx,
+                            "n_frames": int(row.n_frames),
+                            "mean_r": round(float(m[0]), 4),
+                            "mean_g": round(float(m[1]), 4),
+                            "mean_b": round(float(m[2]), 4),
+                            "frame_hash": int.from_bytes(
+                                digest, "big", signed=True
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "video_id", "frame_idx", "n_frames", "mean_r",
+                    "mean_g", "mean_b", "frame_hash",
+                ],
+            )
+
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register("m09_frame_sample")  # rows-only: binary payloads
+def m09_frame_sample(spark, sf_dir):
+    """Frame-sample the synthetic video table (every 3rd frame of
+    8-frame SVID containers): parse the container, decode ONLY the
+    sampled frames, emit per-frame stats + content hash. Rows-only
+    (video bytes aren't SQL-expressible); sampling arithmetic, frame
+    pixel equality vs independently re-derived frames, skip-cost
+    seekability, and corrupt-container tolerance are pytest-gated
+    (tests/test_frame_sample.py)."""
+    return sample_frames(videos_df(spark, N_VIDEOS, seed=42)).orderBy(
+        "video_id", "frame_idx"
+    )
