@@ -12,6 +12,7 @@ from . import matching_pipeline  # noqa: F401
 from . import relational  # noqa: F401
 from . import retrieval  # noqa: F401
 from . import sources_catalog  # noqa: F401
+from . import temporal  # noqa: F401
 from ..operators import dedup  # noqa: F401
 from ..operators import multimodal  # noqa: F401
 from ..operators import similarity  # noqa: F401
