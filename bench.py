@@ -66,12 +66,19 @@ HEADLINE = [
     "v06_semantic_dedup",         # centroid-blocked semantic dedup (r5+)
     "t11_bm25_topk",              # BM25 ranked retrieval (r6+)
     "w07_session_window_native",  # native session_window rollup (r6+)
+    "j08_asof_join",              # union-window as-of join (r6+)
+    "d09_incremental_dedup",      # batch-vs-history dedup (r6+)
 ]
 
 # queries added to HEADLINE after round 4 — excluded from the
 # like-for-like total so cross-round comparisons stay valid
 ADDED_R5 = {"d08_exact_substring", "v06_semantic_dedup"}
-ADDED_R6 = {"t11_bm25_topk", "w07_session_window_native"}
+ADDED_R6 = {
+    "t11_bm25_topk",
+    "w07_session_window_native",
+    "j08_asof_join",
+    "d09_incremental_dedup",
+}
 _POST_R4 = ADDED_R5 | ADDED_R6
 
 

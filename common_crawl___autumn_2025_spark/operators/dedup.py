@@ -911,3 +911,100 @@ def d08_exact_substring(spark, sf_dir):
         .withColumn("keep", F.col("dup_frac") <= DUP_FRAC_KEEP)
         .orderBy("doc_id")
     )
+
+
+# -- d09: incremental dedup (new batch vs historical corpus) -------------------
+
+_D09_PLANT = 40
+
+_D09_ORACLE = f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < {_D09_PLANT}
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id < {_D09_PLANT}
+),
+b AS (
+  SELECT doc_id, md5(text) AS digest FROM batch WHERE text IS NOT NULL
+),
+firsts AS (
+  SELECT doc_id, digest,
+         min(doc_id) OVER (PARTITION BY digest) AS first_id
+  FROM b
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.digest,
+       CASE WHEN h.digest IS NOT NULL THEN 'dup_history'
+            WHEN f.doc_id <> f.first_id THEN 'dup_batch'
+            ELSE 'keep' END AS verdict
+FROM firsts f LEFT JOIN hist h ON f.digest = h.digest
+"""
+
+
+@register("d09_incremental_dedup", _D09_ORACLE)
+def d09_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup: the production shape d01 lacks — a
+    NEW crawl batch deduplicated against the HISTORICAL corpus
+    without reprocessing history. Even doc_ids play the historical
+    corpus, odd ones the new batch, and the batch plants both
+    failure modes (copies of history docs under shifted ids ->
+    'dup_history'; intra-batch copies of smaller-id batch docs ->
+    'dup_batch'; dup_history wins when both apply, since the batch
+    copy would not ship regardless of arrival order).
+
+    100 TB shape: history is reduced to DISTINCT content digests
+    before anything moves — the join carries 16-byte keys, never
+    text — and the within-batch first-occurrence window partitions
+    on the same digest key the join uses, so the batch side is
+    hash-partitioned once and reused. At real scale a broadcast
+    Bloom of the history digests prefilters the join the same way
+    crawl/seen.py prefilters URL admission — misses (the common
+    case for genuinely new content) never shuffle at all. NULL-text
+    docs carry no content to compare and are excluded on both
+    sides, mirroring d02/d08."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    hist_digests = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    plantable = F.col("doc_id") < _D09_PLANT
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.where((F.col("doc_id") % 2 == 0) & plantable).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 2 == 1) & plantable).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.md5("text").alias("digest"))
+    )
+    w = Window.partitionBy("digest")
+    return (
+        batch.withColumn("first_id", F.min("doc_id").over(w))
+        .join(hist_digests, on="digest", how="left")
+        .select(
+            "doc_id",
+            "digest",
+            F.when(F.col("in_hist").isNotNull(), F.lit("dup_history"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
