@@ -279,3 +279,36 @@ def a19_exact_quantiles(spark, sf_dir):
             F.round(F.avg("value"), 4).alias("mean_value"),
         )
     )
+
+
+# -- a20: approx grouped quantiles (the mergeable sketch) ------------------------
+
+A20_ACCURACY = 10_000
+
+
+@register("a20_approx_quantiles")  # rows-only: sketch result has no oracle twin
+def a20_approx_quantiles(spark, sf_dir):
+    """``approx_percentile`` — the 100 TB form a19's docstring
+    promises: a mergeable Greenwald-Khanna sketch that
+    partial-aggregates map-side, so each group costs O(accuracy)
+    state per partition instead of shipping the full value multiset
+    to one reducer. The rank error is bounded by n/accuracy, but the
+    merged summary depends on partition merge order, so the entry is
+    rows-only (a16's HLL pattern) and carries its own anchor: the
+    exact a19 percentiles sit in the same row, and pytest pins every
+    approx value inside the exact [p-1/accuracy, p+1/accuracy]
+    value envelope at two parallelism levels."""
+    acc = F.lit(A20_ACCURACY)
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), acc).alias("ap50"),
+            F.approx_percentile("value", F.lit(0.9), acc).alias("ap90"),
+            F.approx_percentile("value", F.lit(0.99), acc).alias("ap99"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n_events"),
+        )
+    )
