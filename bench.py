@@ -68,6 +68,7 @@ HEADLINE = [
     "w07_session_window_native",  # native session_window rollup (r6+)
     "j08_asof_join",              # union-window as-of join (r6+)
     "d09_incremental_dedup",      # batch-vs-history dedup (r6+)
+    "d10_incremental_neardup",    # batch-vs-history LSH near-dup (r6+)
 ]
 
 # queries added to HEADLINE after round 4 — excluded from the
@@ -78,6 +79,7 @@ ADDED_R6 = {
     "w07_session_window_native",
     "j08_asof_join",
     "d09_incremental_dedup",
+    "d10_incremental_neardup",
 }
 _POST_R4 = ADDED_R5 | ADDED_R6
 

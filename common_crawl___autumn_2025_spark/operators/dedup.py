@@ -548,9 +548,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return with_arr.mapInPandas(sign, schema="doc_id long, sig array<long>")
 
 
-def lsh_candidates(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Band the signatures and self-join on (band, bucket) — the LSH
-    candidate generator. Returns distinct (doc_a, doc_b)."""
+def band_table(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) from MinHash signatures: each band's
+    signature slice concat-hashed into one 64-bit bucket key — the
+    relation every LSH join (self OR cross-corpus) probes."""
     n_hashes = N_HASHES
     rows_per_band = n_hashes // n_bands
     banded = sigs.select(
@@ -575,6 +576,13 @@ def lsh_candidates(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    return banded
+
+
+def lsh_candidates(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket) — the LSH
+    candidate generator. Returns distinct (doc_a, doc_b)."""
+    banded = band_table(sigs, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -602,18 +610,22 @@ def _minhash_family(n_hashes: int = N_HASHES):
     return a, b, mod
 
 
-def _d03_oracle_sql() -> str:
-    """Full DuckDB value oracle for d03 — every stage in SQL.
+def _minhash_band_sql(doc_cte: str) -> tuple[str, str]:
+    """The full MinHash->band CTE chain in DuckDB SQL, from a
+    ``doc_cte(doc_id, text)`` relation to a banded-hash relation
+    ``(doc_id, band, h)``; returns (ctes, final_name).
 
-    The one piece DuckDB lacks, Spark's ``xxhash64``, is unrolled
-    into HUGEINT CTE chains by ``functions/xxh64_sql.py`` (bit-exact
-    against the JVM via the pinned Python mirror); the universal
-    hash family's 32 (a, b) pairs are inlined as literals from the
-    same seeded generator the engine uses.  Shingling replicates
-    ``_shingles`` (d02's proven SQL), signatures are 32 ``min()``
-    aggregates, banding concatenates signature pairs exactly like
-    the engine's ``concat_ws(',', ...)`` and rehashes them, and
-    candidates come from the same (band, bucket) self-join."""
+    ONE definition spliced by both the d03 self-join oracle and the
+    d10 cross-corpus oracle, so the signature rule cannot silently
+    diverge between them. The one piece DuckDB lacks, Spark's
+    ``xxhash64``, is unrolled into HUGEINT CTE chains by
+    ``functions/xxh64_sql.py`` (bit-exact against the JVM via the
+    pinned Python mirror); the universal hash family's 32 (a, b)
+    pairs are inlined as literals from the same seeded generator the
+    engine uses. Shingling replicates ``_shingles`` (d02's proven
+    SQL), signatures are 32 ``min()`` aggregates, banding
+    concatenates signature pairs exactly like the engine's
+    ``concat_ws(',', ...)`` and rehashes them."""
     a, b, mod = _minhash_family()
     sh_ctes, sh_final = xxh64_ctes("dsh", "shing", ["doc_id"])
     bd_ctes, bd_final = xxh64_ctes("dbb", "bands", ["doc_id", "band"])
@@ -632,10 +644,9 @@ def _d03_oracle_sql() -> str:
         )
         for bnd in range(N_BANDS)
     )
-    return f"""
-    WITH toks AS (
+    ctes = f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS l
-      FROM documents WHERE text IS NOT NULL
+      FROM {doc_cte}
     ),
     shing AS (
       SELECT DISTINCT doc_id, unnest(
@@ -651,9 +662,21 @@ def _d03_oracle_sql() -> str:
     sigs AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id),
     bstructs AS (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sigs),
     bands AS (SELECT doc_id, bb.band AS band, bb.s AS s FROM bstructs),
-    {bd_ctes}
+    {bd_ctes}"""
+    return ctes, bd_final
+
+
+def _d03_oracle_sql() -> str:
+    """Full DuckDB value oracle for d03: the shared MinHash->band
+    chain plus the same (band, bucket) self-join the engine runs."""
+    ctes, final = _minhash_band_sql("src")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    {ctes}
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM {bd_final} x JOIN {bd_final} y
+    FROM {final} x JOIN {final} y
       ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
     ORDER BY doc_a, doc_b
     """
@@ -1080,3 +1103,113 @@ def d09_incremental_dedup(spark, sf_dir, bloom_prefilter=False):
             .alias("verdict"),
         )
     )
+
+
+# -- d10: incremental near-dup (new batch vs historical band table) ------------
+
+def lsh_candidates_cross(
+    sigs_batch: DataFrame, sigs_hist: DataFrame, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Cross-corpus LSH: batch band table JOINED against the history
+    band table on (band, bucket) — distinct (batch_doc, hist_doc)
+    candidate pairs. The incremental twin of ``lsh_candidates``:
+    history is never self-joined (its internal duplicates were
+    settled when it was history's batch), so candidate volume is
+    O(batch collisions), independent of history size."""
+    bx = band_table(sigs_batch, n_bands).alias("x")
+    by = band_table(sigs_hist, n_bands).alias("y")
+    return (
+        bx.join(
+            by,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("batch_doc"),
+            F.col("y.doc_id").alias("hist_doc"),
+        )
+        .distinct()
+    )
+
+
+def _d10_variant_expr(text_col: str = "text"):
+    """The planted near-duplicate transformation: drop the FIRST
+    token, keep the rest — shares all but two 3-gram shingles with
+    the original, so MinHash bands still collide for any non-trivial
+    doc. Mirrored verbatim by the oracle's DuckDB spelling."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_join(
+        F.slice(toks, 2, F.greatest(F.size(toks) - F.lit(1), F.lit(0))), " "
+    )
+
+
+def _d10_oracle_sql() -> str:
+    ctes, final = _minhash_band_sql("src")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id < {_D09_PLANT} AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string((string_split(text, ' '))[2:], ' ') AS text
+      FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id < {_D09_PLANT} AND text IS NOT NULL
+    ),
+    {ctes}
+    SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS hist_doc
+    FROM {final} x JOIN {final} y
+      ON x.band = y.band AND x.h = y.h
+    WHERE (x.doc_id % 2 = 1 OR x.doc_id >= 2000000)
+      AND y.doc_id % 2 = 0 AND y.doc_id < 2000000
+    ORDER BY batch_doc, hist_doc
+    """
+
+
+@register("d10_incremental_neardup", _d10_oracle_sql())
+def d10_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup: d09's daily-batch question at d03's
+    near-duplicate granularity — which of today's documents are
+    near-copies of something already in the historical corpus. Even
+    doc_ids play history, odd ones the batch; the batch additionally
+    plants exact copies of history docs (ids +2,000,000 — every band
+    collides, guaranteed detection) and first-token-dropped near
+    variants (ids +3,000,000 — shares all but two shingles).
+
+    100 TB shape: the history BAND TABLE (doc_id, band, bucket) is
+    the stored index — computed once when each batch became history,
+    16 bands x 8 bytes per doc, never recomputed. A new batch
+    computes signatures for ITS OWN docs only and equi-joins the
+    band index on (band, bucket); history is never self-joined and
+    never re-shingled, so daily cost is O(batch + collisions)
+    regardless of corpus age. The small batch side broadcasts;
+    verification (exact Jaccard on candidates, d02's verifier) and
+    verdicting then follow d09's precedence rule. Oracle: the shared
+    ``_minhash_band_sql`` chain over the same union corpus, filtered
+    to cross-corpus pairs."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    plantable = F.col("doc_id") < _D09_PLANT
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            hist.where(plantable).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            hist.where(plantable).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                _d10_variant_expr().alias("text"),
+            )
+        )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    return lsh_candidates_cross(
+        minhash_signatures(batch), minhash_signatures(hist)
+    ).orderBy("batch_doc", "hist_doc")

@@ -211,3 +211,91 @@ def a18_arg_extremes(spark, sf_dir):
         )
         .where(F.col("n_orders") >= 8)
     )
+
+
+# -- a21: heavy hitters (Misra-Gries sketch + exact confirm) -------------------
+
+MG_CAPACITY = 64
+
+
+def mg_candidates(df, key_col: str, capacity: int = MG_CAPACITY):
+    """Misra-Gries candidate keys, one bounded sketch per partition.
+
+    Each partition keeps at most ``capacity`` counters; merging a
+    batch adds its (vectorized) value_counts, then one decrement step
+    subtracts the (capacity+1)-th largest counter value from all and
+    drops the non-positives — the batched MG merge (Agarwal et al.,
+    "Mergeable Summaries"), undercount ≤ n_p/(capacity+1) per
+    partition. Any key with GLOBAL frequency > n/(capacity+1) must
+    exceed the per-partition threshold somewhere (averaging), so the
+    union of partition survivors is a SUPERSET of the true heavy
+    hitters — pytest-pinned. Python touches only per-batch UNIQUE
+    keys and a ≤capacity dict, never rows."""
+    import pandas as pd
+
+    def sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return (
+        df.select(key_col).mapInPandas(sketch, f"{key_col} bigint").distinct()
+    )
+
+
+def heavy_hitters(
+    df, key_col: str, k: int, capacity: int = MG_CAPACITY
+):
+    """Top-k frequent keys at unbounded key cardinality: MG sketch
+    proposes ≤ capacity×partitions candidates, ONE exact counting
+    pass over the broadcast candidate set confirms true counts, top-k
+    orders on (count DESC, key). The confirm step is what makes the
+    output exact and parallelism-invariant — the sketch only bounds
+    which keys are worth counting, the shuffle carries candidate keys
+    only (a06's distinct-count problem never materializes)."""
+    cands = mg_candidates(df, key_col, capacity)
+    return (
+        df.join(F.broadcast(cands), on=key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), key_col)
+        .limit(k)
+    )
+
+
+_A21_ORACLE = """
+    SELECT hot_key, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN user_id % 7 = 0 THEN user_id % 5
+             ELSE user_id END AS hot_key
+      FROM events
+    ) GROUP BY hot_key ORDER BY n DESC, hot_key LIMIT 5
+"""
+
+
+@register("a21_heavy_hitters", _A21_ORACLE)
+def a21_heavy_hitters(spark, sf_dir):
+    """Heavy hitters over a planted-skew key (every 7th event
+    collapses onto 5 hot keys — the hot-host shape a crawl frontier
+    fights): Misra-Gries candidates + exact confirm + top-5. The
+    ORACLE is the direct exact top-5 — the value match proves the
+    sketch pipeline finds exactly the true heavy hitters, legitimate
+    because each hot key's frequency (~n/35) clears the MG guarantee
+    threshold n/(capacity+1) = n/65, so the candidate superset
+    provably contains the answer and the confirm pass makes the
+    counts exact. At 10^10 rows the exact a04-style groupBy over ALL
+    keys shuffles every key once; this shape shuffles only candidate
+    keys, and the sketch pass is one scan with O(capacity) state."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 == 0, F.col("user_id") % 5)
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("hot_key")
+    )
+    return heavy_hitters(ev, "hot_key", k=5)

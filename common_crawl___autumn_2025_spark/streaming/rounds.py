@@ -793,3 +793,111 @@ def stream_stream_attribution(
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(work_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name} ORDER BY click_id, view_id")
+
+
+# -- st09: foreachBatch exactly-once sink --------------------------------------
+
+_ST09_ORACLE = """
+    SELECT event_id, user_id,
+           round(value, 4) AS value
+    FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("st09_exactly_once_sink", _ST09_ORACLE)
+def st09_exactly_once_sink(spark, sf_dir):
+    """Catalog face of the FOREACHBATCH EXACTLY-ONCE SINK: a TRUE
+    Structured Streaming run writing each micro-batch to a
+    non-transactional sink (a partitioned parquet directory tree)
+    idempotently, then reading the sink back — defined to equal the
+    batch projection, so it is fully value-checked."""
+    return stream_exactly_once_sink(spark, sf_dir)
+
+
+def write_batch_idempotent(out_dir: str):
+    """The foreachBatch writer: each micro-batch lands in its OWN
+    ``batch_id=N`` directory via mode("overwrite") — the canonical
+    exactly-once recipe for sinks with no transaction log. Structured
+    Streaming guarantees the (batch_id, data) pairing is stable
+    across failure/replay (the offsets are committed to the
+    checkpoint WAL before the batch runs), so a replayed batch
+    rewrites the SAME rows into the SAME directory instead of
+    appending duplicates — the write is idempotent, and downstream
+    readers see each input row's effect exactly once. This is the
+    generic pattern for arbitrary sinks (JDBC upserts keyed by
+    (batch_id, key) work identically); Spark's own file sink gets the
+    same guarantee from its _spark_metadata commit log instead."""
+    import os
+
+    def write(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write
+
+
+def stream_exactly_once_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """FOREACHBATCH SINK (SURVEY §2.9): stream -> per-micro-batch
+    idempotent write to a plain parquet tree -> read-back. The
+    transformation is row-level (filter + projection), so the union
+    of the per-batch outputs equals the batch query regardless of
+    how rows split across micro-batches — the DuckDB oracle is that
+    plain projection. ``tests/test_st09.py`` additionally replays a
+    drained batch through the writer (what Spark does after a
+    failure between sink write and checkpoint commit) and asserts
+    the sink is byte-stable — the exactly-once property itself.
+
+    100 TB/day shape: stateless, no shuffle — each task writes its
+    own files under the batch directory; the only coordination is
+    the directory rename, and batch directories make retention
+    (drop batch_id < N) and reprocessing (overwrite one batch) O(1)
+    metadata operations."""
+    import os
+    import shutil
+    import tempfile
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_sink")
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="st09_sink_")  # outlives return:
+        # the driver collects the returned DataFrame after this call
+    ck_dir = tempfile.mkdtemp(prefix="st09_ck_")
+    try:
+        shipped = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage_dir)
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.round("value", 4).alias("value"),
+            )
+        )
+        q = (
+            shipped.writeStream.foreachBatch(write_batch_idempotent(out_dir))
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("foreachBatch sink did not drain within 300s")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(os.path.join(out_dir, "batch_id=*"))
+        .select("event_id", "user_id", "value")
+    )

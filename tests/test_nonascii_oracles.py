@@ -124,6 +124,29 @@ def test_t09_nonascii_engine_matches_oracle(spark, tmp_path):
     assert got[23][3] is False       # unique doc is clean
 
 
+def test_d10_nonascii_engine_matches_oracle(spark, tmp_path):
+    """The incremental cross-corpus LSH inherits the same UTF-8
+    byte-exact oracle chain as d03: history = even docs (0, 20, 22,
+    24), batch = odd docs + the planted copies/variants of even ids
+    < 40 — the near-dup pair (24 history, 25 batch) must surface as
+    a cross-corpus candidate, and the planted exact copy of doc 24
+    is guaranteed-detected."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _d10_oracle_sql,
+        d10_incremental_neardup,
+    )
+
+    sf, con = _write_docs(spark, tmp_path, _multilingual_rows())
+    engine = sorted(
+        tuple(r) for r in d10_incremental_neardup(spark, sf).collect()
+    )
+    oracle = sorted(tuple(r) for r in con.sql(_d10_oracle_sql()).fetchall())
+    assert engine == oracle
+    pairs = set(engine)
+    assert (25, 24) in pairs          # multilingual near-dup, cross-corpus
+    assert (2000024, 24) in pairs     # exact copy: all bands collide
+
+
 def test_d03_nonascii_engine_matches_oracle(spark, tmp_path):
     sf, con = _write_docs(spark, tmp_path, _multilingual_rows())
     engine = sorted(
