@@ -69,6 +69,7 @@ HEADLINE = [
     "j08_asof_join",              # union-window as-of join (r6+)
     "d09_incremental_dedup",      # batch-vs-history dedup (r6+)
     "d10_incremental_neardup",    # batch-vs-history LSH near-dup (r6+)
+    "v07_ann_ivf_pq",             # PQ-compressed ANN + ADC (r6+)
 ]
 
 # queries added to HEADLINE after round 4 — excluded from the
@@ -80,6 +81,7 @@ ADDED_R6 = {
     "j08_asof_join",
     "d09_incremental_dedup",
     "d10_incremental_neardup",
+    "v07_ann_ivf_pq",
 }
 _POST_R4 = ADDED_R5 | ADDED_R6
 

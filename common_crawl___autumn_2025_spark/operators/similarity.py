@@ -645,3 +645,212 @@ def v06_semantic_dedup(spark, sf_dir):
     into ``semantic_dedup(emb, centroids=...)`` without changing the
     plan."""
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+# -- v07: PQ-compressed ANN (product quantization + ADC + exact re-rank) -------
+
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB == embedding dim)
+PQ_K = 16       # codes per subspace codebook -> 4 bits/subspace
+PQ_REFINE = 32  # ADC shortlist re-ranked exactly
+
+
+def _pq_books(centroids: np.ndarray) -> np.ndarray:
+    """(PQ_K, dim) sampled codebook -> (PQ_M, PQ_K, PQ_SUB) per-
+    subspace codebooks: the SAME md5-rank sample feeds every
+    subspace, so the SQL oracle derives all M codebooks from one
+    ``cent`` CTE."""
+    k, dim = centroids.shape
+    assert dim == PQ_M * PQ_SUB, (dim, PQ_M, PQ_SUB)
+    return centroids.reshape(k, PQ_M, PQ_SUB).transpose(1, 0, 2).copy()
+
+
+def _pq_sub_d2(x: np.ndarray, book_m: np.ndarray) -> np.ndarray:
+    """Rounded squared-L2 distances (n, PQ_K) of subvectors to one
+    subspace codebook, computed as the dot-product expansion
+    x·x − 2x·y + y·y — the EXACT formula the DuckDB oracle states,
+    so rounding to 6 dp lands both engines on identical values."""
+    xx = np.einsum("ij,ij->i", x, x)[:, None]
+    yy = np.einsum("kj,kj->k", book_m, book_m)[None, :]
+    xy = x @ book_m.T
+    return np.floor((xx - 2.0 * xy + yy) * 1_000_000 + 0.5) / 1_000_000
+
+
+def pq_encode_udf(books: np.ndarray):
+    """embedding -> PQ code array (PQ_M ints): per-subspace argmin of
+    the rounded distance, first-min = lowest code id — the tiebreak
+    the oracle expresses with row_number ORDER BY (d2, cidx)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((m.shape[0], PQ_M), dtype=np.int32)
+        for j in range(PQ_M):
+            sub = m[:, j * PQ_SUB : (j + 1) * PQ_SUB]
+            codes[:, j] = np.argmin(_pq_sub_d2(sub, books[j]), axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_adist_udf(dt: np.ndarray):
+    """codes -> rounded ADC distances to ALL queries (array of
+    n_queries doubles): table lookups only, the corpus vector itself
+    is never touched — the whole point of PQ."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def ad(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())
+        out = np.zeros((c.shape[0], dt.shape[0]), dtype=np.float64)
+        for j in range(PQ_M):
+            out += dt[:, j, c[:, j]].T
+        out = np.floor(out * 1_000_000 + 0.5) / 1_000_000
+        return pd.Series(list(out))
+
+    return ad
+
+
+def _v07_oracle_sql() -> str:
+    """Full value oracle: codebook sample, per-subspace encoding, ADC
+    table, shortlist, and exact re-rank all in SQL — same rounding,
+    same tiebreaks, same dot-product-expansion distance formula."""
+
+    def sl(v: str, m: str) -> str:
+        return f"{v}[{m}*{PQ_SUB}+1 : {m}*{PQ_SUB}+{PQ_SUB}]"
+
+    def rd2(a: str, b: str, m: str) -> str:
+        x, y = sl(a, m), sl(b, m)
+        return (
+            f"floor((list_dot_product({x},{x}) - 2*list_dot_product({x},{y})"
+            f" + list_dot_product({y},{y})) * 1000000 + 0.5) / 1000000"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv FROM (
+        SELECT vec_id, v FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})
+    ),
+    sub AS (SELECT CAST(m AS INT) AS m FROM range(0, {PQ_M}) t(m)),
+    cd AS (
+      SELECT vec_id, m, cidx AS code FROM (
+        SELECT e.vec_id, s.m, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id, s.m
+                 ORDER BY {rd2('e.v', 'c.cv', 's.m')}, c.cidx) AS rn
+        FROM e CROSS JOIN sub s CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {N_QUERIES}),
+    dt AS (
+      SELECT q.query_id, s.m, c.cidx, {rd2('q.qv', 'c.cv', 's.m')} AS d
+      FROM q CROSS JOIN sub s CROSS JOIN cent c
+    ),
+    ad AS (
+      SELECT dt.query_id, cd.vec_id AS hit_id,
+             floor(sum(dt.d) * 1000000 + 0.5) / 1000000 AS adist
+      FROM cd JOIN dt ON dt.m = cd.m AND dt.cidx = cd.code
+      WHERE dt.query_id <> cd.vec_id
+      GROUP BY dt.query_id, cd.vec_id
+    ),
+    ref AS (
+      SELECT query_id, hit_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist, hit_id) AS rn FROM ad
+      ) WHERE rn <= {PQ_REFINE}
+    ),
+    scored AS (
+      SELECT r.query_id, r.hit_id,
+             {_R6_COS.format(a='qe.v', b='he.v')} AS cosine
+      FROM ref r JOIN e qe ON qe.vec_id = r.query_id
+                 JOIN e he ON he.vec_id = r.hit_id
+    )
+    SELECT query_id, hit_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, hit_id) AS rn FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("v07_ann_ivf_pq", _v07_oracle_sql())
+def v07_ann_ivf_pq(spark, sf_dir):
+    """PQ-compressed ANN (Jégou et al., product quantization): the
+    memory-bounded scale path the flat indexes (v03/v04) lack. Each
+    64-d vector compresses to PQ_M=8 4-bit codes (4 bytes vs 256 —
+    a 10^10-vector corpus fits ~40 GB of codes instead of 2.5 TB of
+    floats); queries scan CODES via ADC table lookups (one
+    (n_queries x M x K) distance table broadcast in the UDF closure,
+    corpus vectors never touched), and only the PQ_REFINE-deep
+    shortlist is re-ranked with exact cosine against the full
+    vectors.
+
+    Determinism/oracle discipline: the codebook is the shared
+    md5-rank sample (one ``cent`` CTE feeds all 8 subspace books);
+    every distance is the dot-product-expansion formula rounded to
+    6 dp with lowest-id tiebreaks in BOTH engines, so encoding, ADC
+    ordering, and the final ranking value-match SQL exactly.
+
+    100 TB shape: encoding is one Arrow scan (books in closure); the
+    ADC pass emits (hit, query, adist) scalars with NO join — the
+    per-query shortlist is a TakeOrderedAndProject-sized window; only
+    ~PQ_REFINE x n_queries rows ever rejoin the full vectors
+    (broadcast). Composes with v04's cells (IVF-PQ) by running the
+    same ADC inside probed cells only."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = _pq_books(md5_rank_centroids(emb, PQ_K))
+    qrows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r[0],
+    )  # bounded: N_QUERIES rows
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    dt = np.stack(
+        [
+            _pq_sub_d2(qmat[:, j * PQ_SUB : (j + 1) * PQ_SUB], books[j])
+            for j in range(PQ_M)
+        ],
+        axis=1,
+    )  # (n_queries, PQ_M, PQ_K)
+    enc = pq_encode_udf(books)
+    ad = pq_adist_udf(dt)
+    qarr = F.array(*[F.lit(int(r[0])) for r in qrows])
+    adists = (
+        emb.select(
+            F.col("vec_id").alias("hit_id"), enc("embedding").alias("codes")
+        )
+        .select("hit_id", F.posexplode(ad("codes")).alias("qpos", "adist"))
+        .select(
+            F.element_at(qarr, F.col("qpos") + 1).alias("query_id"),
+            "hit_id",
+            "adist",
+        )
+        .where(F.col("query_id") != F.col("hit_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("hit_id"))
+    refined = (
+        adists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_REFINE)
+        .select("query_id", "hit_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "query_id long, qv array<double>",
+    )
+    hits = emb.select(F.col("vec_id").alias("hit_id"), F.col("embedding").alias("cv"))
+    scored = (
+        hits.join(F.broadcast(refined), on="hit_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .select(
+            "query_id",
+            "hit_id",
+            r6(cosine_udf(F.col("qv"), F.col("cv"))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("hit_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "hit_id", "cosine")
+    )
