@@ -1153,7 +1153,11 @@ def _d10_oracle_sql() -> str:
       WHERE doc_id % 2 = 0 AND doc_id < {_D09_PLANT} AND text IS NOT NULL
       UNION ALL
       SELECT doc_id + 3000000,
-             array_to_string((string_split(text, ' '))[2:], ' ') AS text
+             -- coalesce: DuckDB's array_to_string([]) is NULL where
+             -- Spark's array_join([]) is '' — a 1-token doc's
+             -- dropped-first-token variant IS the empty doc
+             coalesce(array_to_string((string_split(text, ' '))[2:], ' '),
+                      '') AS text
       FROM documents
       WHERE doc_id % 2 = 0 AND doc_id < {_D09_PLANT} AND text IS NOT NULL
     ),

@@ -742,3 +742,102 @@ def t12_unigram_logprob(spark, sf_dir):
             F.col("n_oov").cast("double") / F.col("n_toks"), 4
         ).alias("oov_ratio"),
     )
+
+
+# -- t13: contamination attribution (per train x eval pair) --------------------
+
+T13_TAU_NUM = 1    # flag when shared/n >= 1/2 — integer-ratio compare
+T13_TAU_DEN = 2    # (2*shared >= n), identical in both engines
+
+_T13_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(l) - {NGRAM} + 2),
+         i -> array_to_string(l[i:i+{NGRAM}-1], ' '))) AS gram
+  FROM t WHERE len(l) >= {NGRAM}
+),
+ev AS (SELECT doc_id AS eval_doc, gram FROM g WHERE doc_id < {EVAL_MAX_ID}),
+tr AS (SELECT doc_id AS train_doc, gram FROM g WHERE doc_id >= {EVAL_MAX_ID}),
+tn AS (SELECT train_doc, count(*) AS n FROM tr GROUP BY train_doc),
+p AS (
+  SELECT tr.train_doc, ev.eval_doc, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM tr JOIN ev ON tr.gram = ev.gram
+  GROUP BY tr.train_doc, ev.eval_doc
+)
+SELECT p.train_doc, p.eval_doc, p.shared_grams,
+       round(p.shared_grams / tn.n, 4) AS overlap_frac,
+       {T13_TAU_DEN} * p.shared_grams >= {T13_TAU_NUM} * tn.n AS flagged
+FROM p JOIN tn USING (train_doc)
+ORDER BY train_doc, eval_doc
+"""
+
+
+@register("t13_contamination_pairs", _T13_ORACLE)
+def t13_contamination_pairs(spark, sf_dir):
+    """Contamination ATTRIBUTION: t09 says a training doc is dirty;
+    this says by WHICH eval doc and how badly — the per-(train, eval)
+    edge table with distinct-gram overlap counts and the fraction of
+    the train doc's grams that leak, flagged at shared/n >= 1/2
+    (integer-ratio compare, no float threshold drift). This is the
+    table a decontamination audit actually reviews: t09's boolean
+    cannot distinguish one stray quotation from a wholesale eval
+    copy, and cannot tell WHICH benchmark to re-shard.
+
+    Scale shape: gram sets are per-doc DISTINCT xxhash64 digests (the
+    oracle matches on gram STRINGS, so a digest collision surfaces as
+    a value mismatch); the eval side — (eval_doc, digest), small by
+    benchmark nature — broadcasts; the only shuffles are the
+    (train_doc, eval_doc) pair aggregation and the per-train-doc
+    denominator count, both keyed by train_doc so the pair relation
+    and the denominator co-partition for the final join. The train
+    gram stream itself never shuffles."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .where(F.size("toks") >= NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {NGRAM}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i+1, {NGRAM}))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        # pin: the relation feeds three consumers (eval set, pair
+        # join, denominator) — without this the gram explode and its
+        # distinct shuffle re-run per branch (d03's sigs lesson)
+        .localCheckpoint(eager=True)
+    )
+    ev = grams.where(F.col("doc_id") < EVAL_MAX_ID).select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    tr = grams.where(F.col("doc_id") >= EVAL_MAX_ID).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    tn = tr.groupBy("train_doc").agg(F.count("*").alias("n"))
+    pairs = (
+        tr.join(F.broadcast(ev), on="g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        pairs.join(tn, on="train_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            "shared_grams",
+            F.round(F.col("shared_grams") / F.col("n"), 4).alias(
+                "overlap_frac"
+            ),
+            (
+                F.lit(T13_TAU_DEN) * F.col("shared_grams")
+                >= F.lit(T13_TAU_NUM) * F.col("n")
+            ).alias("flagged"),
+        )
+        .orderBy("train_doc", "eval_doc")
+    )

@@ -102,3 +102,73 @@ def test_t12_randomized_corpus_matches_oracle(spark, tmp_path, texts):
         spark, tmp_path, texts, t12_unigram_logprob, _T12_ORACLE
     )
     assert sorted(engine) == sorted(oracle)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_d09_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    """Incremental dedup's parity split + planted copies must agree
+    with DuckDB on arbitrary corpora — duplicated docs across the
+    parity boundary exercise both dup_history and dup_batch."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _D09_ORACLE,
+        d09_incremental_dedup,
+    )
+
+    texts = list(texts) + [texts[0], texts[0]]
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, d09_incremental_dedup, _D09_ORACLE
+    )
+    assert sorted(engine) == sorted(oracle)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_d10_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    """Cross-corpus LSH (shingles -> signatures -> bands -> join)
+    must agree with the SQL chain on arbitrary corpora, including
+    empty tokens, NULLs, and sub-shingle docs."""
+    from common_crawl___autumn_2025_spark.operators.dedup import (
+        _d10_oracle_sql,
+        d10_incremental_neardup,
+    )
+
+    texts = list(texts) + [texts[0]]
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, d10_incremental_neardup, _d10_oracle_sql()
+    )
+    assert sorted(engine) == sorted(oracle)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_t13_randomized_corpus_matches_oracle(spark, tmp_path, texts):
+    """Per-pair contamination attribution ≡ oracle on arbitrary
+    corpora; pinned tokenizable train docs keep the test non-vacuous
+    (t09's harness shape)."""
+    from common_crawl___autumn_2025_spark.operators.textquality import (
+        _T13_ORACLE,
+        t13_contamination_pairs,
+    )
+
+    texts = (
+        [texts[i % len(texts)] for i in range(10)]
+        + ["aa bb cc dd the x9", "the the cc dd aa bb aa"]
+        + list(texts)
+    )
+    engine, oracle = _run_both(
+        spark, tmp_path, texts, t13_contamination_pairs, _T13_ORACLE
+    )
+    assert sorted(engine) == sorted(oracle)
