@@ -25,23 +25,11 @@ LANG_MARKERS = [
 ]
 
 
-@register(
-    "t01_language_id",
-    """
-    SELECT doc_id, lang,
-           CASE
-             WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ') THEN 'en'
-             WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
-             WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
-             WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' les ') THEN 'fr'
-             ELSE 'und'
-           END AS predicted_lang
-    FROM documents
-    """,
-)
-def t01_language_id(spark, sf_dir):
-    """Marker-token language ID (first matching family wins)."""
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+def predicted_lang_expr(text_col: str = "text"):
+    """The t01 marker-token language rule as a reusable Column
+    (first matching family wins) — shared with e08's datasheet so
+    the rule lives in exactly one place."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     expr = F.lit("und")
     for lang, markers in reversed(LANG_MARKERS):
         cond = None
@@ -49,8 +37,35 @@ def t01_language_id(spark, sf_dir):
             c = F.contains(padded, F.lit(m))
             cond = c if cond is None else (cond | c)
         expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def predicted_lang_sql(x: str = "text") -> str:
+    """The same rule as DuckDB CASE text, generated from the SAME
+    LANG_MARKERS table the engine expression reads."""
+    whens = "\n             ".join(
+        "WHEN "
+        + " OR ".join(
+            f"contains(' ' || {x} || ' ', '{m}')" for m in markers
+        )
+        + f" THEN '{lang}'"
+        for lang, markers in LANG_MARKERS
+    )
+    return f"CASE\n             {whens}\n             ELSE 'und'\n           END"
+
+
+@register(
+    "t01_language_id",
+    f"""
+    SELECT doc_id, lang,
+           {predicted_lang_sql("text")} AS predicted_lang
+    FROM documents
+    """,
+)
+def t01_language_id(spark, sf_dir):
+    """Marker-token language ID (first matching family wins)."""
     return load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", expr.alias("predicted_lang")
+        "doc_id", "lang", predicted_lang_expr().alias("predicted_lang")
     )
 
 

@@ -435,3 +435,91 @@ def e07_ship_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# -- e08: corpus datasheet ----------------------------------------------------
+
+def _e08_oracle_sql() -> str:
+    from ..operators.textquality import QUALITY_GATE_SQL, predicted_lang_sql
+
+    return f"""
+    WITH d AS (
+      SELECT {predicted_lang_sql('text')} AS predicted_lang,
+             len(string_split(text, ' ')) AS ws_tokens,
+             {QUALITY_GATE_SQL.format(x='text')} AS q,
+             md5(text) AS digest
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT predicted_lang, ws_tokens, q,
+             count(*) OVER (PARTITION BY digest) AS copies
+      FROM d
+    )
+    SELECT predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(count(*) FILTER (q) AS BIGINT) AS quality_pass,
+           CAST(count(*) FILTER (copies > 1) AS BIGINT) AS dup_docs,
+           round((count(*) FILTER (q)) / count(*), 4) AS quality_rate,
+           round((count(*) FILTER (copies > 1)) / count(*), 4) AS dup_rate
+    FROM w
+    GROUP BY predicted_lang
+    ORDER BY predicted_lang
+    """
+
+
+@register("e08_corpus_datasheet", _e08_oracle_sql())
+def e08_corpus_datasheet(spark, sf_dir):
+    """The corpus DATASHEET: the per-language summary table a
+    curation run publishes alongside shipped training data — doc and
+    token volumes, quality-gate pass rate, exact-duplicate rate. The
+    'datasheets for datasets' deliverable, and the table every
+    downstream consumer reads before anything else.
+
+    Composition discipline (e06/e07's rule): every statistic is the
+    SAME shared rule its standalone operator uses — language is
+    ``predicted_lang_expr`` (t01), quality is ``quality_gate_expr``
+    (t02), tokens are t03's whitespace count, duplication is d01's
+    digest rule — one definition per rule, spliced into both engines,
+    so the datasheet can never drift from the operators it
+    summarizes.
+
+    100 TB shape: two shuffles total — one digest-keyed exchange for
+    the duplicate window (d01's shape: 16-byte keys, text projected
+    away) and one partial-aggregated groupBy on the tiny language
+    key. Everything else is a single codegen'd scan."""
+    from ..operators.textquality import predicted_lang_expr, quality_gate_expr
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            predicted_lang_expr().alias("predicted_lang"),
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+            quality_gate_expr(F.col("text")).alias("q"),
+            F.md5("text").alias("digest"),
+        )
+    )
+    w = Window.partitionBy("digest")
+    return (
+        docs.withColumn("copies", F.count("*").over(w))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.count_if(F.col("q")).alias("quality_pass"),
+            F.count_if(F.col("copies") > 1).alias("dup_docs"),
+        )
+        .select(
+            "predicted_lang",
+            "n_docs",
+            "total_ws_tokens",
+            "quality_pass",
+            "dup_docs",
+            F.round(F.col("quality_pass") / F.col("n_docs"), 4).alias(
+                "quality_rate"
+            ),
+            F.round(F.col("dup_docs") / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+        .orderBy("predicted_lang")
+    )
