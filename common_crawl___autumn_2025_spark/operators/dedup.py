@@ -895,7 +895,11 @@ def d08_exact_substring(spark, sf_dir):
     excluded (mirrored by the oracle)."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     inst = (
-        docs.withColumn("toks", F.split("text", " "))
+        # spread before the tokenize+hash explode: the small parquet
+        # file arrives as ONE input split (single row group), so the
+        # chunk digesting would otherwise run on one core (d02 pattern)
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("toks", F.split("text", " "))
         .withColumn("nch", F.floor(F.size("toks") / CHUNK).cast("int"))
         .where(F.col("nch") >= 1)
         .select(
@@ -941,6 +945,39 @@ def d08_exact_substring(spark, sf_dir):
 
 _D09_PLANT = 40
 
+
+def _assert_plant_ids_clear(sf_dir: str) -> None:
+    """ADVICE r6 #3: d09/d10 encode the batch/history split as literal
+    doc_id offsets (+2,000,000 / +3,000,000). If a corpus ever carries
+    natural doc_ids at or above 2,000,000, engine and oracle would
+    silently diverge on corpus membership — fail LOUDLY instead. The
+    check reads the parquet footer's column statistics (no Spark job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    paths = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    mx = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "doc_id" not in idx:
+            return  # schema without doc_id: nothing to collide with
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["doc_id"]).statistics
+            if st is None or not st.has_min_max:
+                return  # stats unavailable: cannot check cheaply
+            mx = st.max if mx is None else max(mx, st.max)
+    if mx is not None and mx >= 2_000_000:
+        raise ValueError(
+            f"d09/d10 plant-id offsets collide: max natural doc_id {mx} "
+            ">= 2,000,000 — the batch/history split would be corrupted"
+        )
+
 _D09_ORACLE = f"""
 WITH hist AS (
   SELECT DISTINCT md5(text) AS digest FROM documents
@@ -975,6 +1012,7 @@ def _d09_relations(spark, sf_dir):
     """(history-digest relation, batch relation) for d09 — shared by
     the exact join path and the Bloom-prefiltered path so both
     variants dedup exactly the same corpora."""
+    _assert_plant_ids_clear(sf_dir)
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -1191,29 +1229,41 @@ def d10_incremental_neardup(spark, sf_dir):
     verification (exact Jaccard on candidates, d02's verifier) and
     verdicting then follow d09's precedence rule. Oracle: the shared
     ``_minhash_band_sql`` chain over the same union corpus, filtered
-    to cross-corpus pairs."""
+    to cross-corpus pairs.
+
+    r7: signatures are computed in ONE mapInPandas pass over the
+    union corpus (batch ∪ history ids are disjoint; per-doc MinHash
+    is independent of cohort, so the signatures are identical) and
+    pinned, then split by the id predicates into the two band-table
+    sides — the former two-pass spelling paid the repartition +
+    tokenize + Arrow stage setup twice for the same total rows. The
+    production contract is unchanged: history's band table is a
+    STORED index — the unified pass is purely how this self-contained
+    catalog entry derives both sides from the one documents table."""
+    _assert_plant_ids_clear(sf_dir)
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    hist = docs.where(F.col("doc_id") % 2 == 0)
+    hist_pred = (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2000000)
     plantable = F.col("doc_id") < _D09_PLANT
-    batch = (
-        docs.where(F.col("doc_id") % 2 == 1)
-        .unionByName(
-            hist.where(plantable).select(
+    planted_src = docs.where((F.col("doc_id") % 2 == 0) & plantable)
+    union_corpus = (
+        docs.unionByName(
+            planted_src.select(
                 (F.col("doc_id") + 2000000).alias("doc_id"), "text"
             )
         )
         .unionByName(
-            hist.where(plantable).select(
+            planted_src.select(
                 (F.col("doc_id") + 3000000).alias("doc_id"),
                 _d10_variant_expr().alias("text"),
             )
         )
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     )
+    sigs = minhash_signatures(union_corpus).localCheckpoint(eager=True)
     return lsh_candidates_cross(
-        minhash_signatures(batch), minhash_signatures(hist)
+        sigs.where(~hist_pred), sigs.where(hist_pred)
     ).orderBy("batch_doc", "hist_doc")

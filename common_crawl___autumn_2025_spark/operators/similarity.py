@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans import load, register
+from ..plans import load, register, table_num_rows
 
 N_QUERIES = 5
 TOP_K = 5
@@ -432,6 +432,11 @@ def ivf_topk(
     standard IVF-Flat index (centroids from a seeded sample — k-means
     refinement drops in without changing the plan)."""
     cell_udf, probes_udf = ivf_assign_udfs(centroids, nprobe)
+    # NOTE (r7): a corpus repartition before the assignment UDF was
+    # A/B-measured and REVERTED — at catalog scale the scoring matmul
+    # is cheaper than the extra shuffle (0.94 s plain vs 1.55 s
+    # spread, interleaved A/B at sf1.0); at true corpus scale the
+    # scan arrives in many splits anyway.
     corpus = emb.select(
         F.col(id_col).alias("hit_id"),
         F.col("embedding").alias("cv"),
@@ -468,7 +473,9 @@ def v04_ann_ivf_flat(spark, sf_dir):
     probed cells; assignment, probing, and ranking all use the same
     rounded-cosine + id tiebreak on both engines."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = md5_rank_centroids(emb)
+    centroids = md5_rank_centroids(
+        emb, derived_n_cells(table_num_rows(sf_dir, "embeddings"))
+    )
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, centroids)
 
@@ -504,6 +511,9 @@ def kmeans_refine(
     (``test_dedup_similarity.py::test_v05_kmeans_refinement``)."""
     dim = centroids.shape[1]
     cents = centroids.astype(np.float64)
+    # spread once: every iteration's assignment scan then runs on all
+    # cores instead of the single input split a small file arrives as
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     for _ in range(iters):
         cell_udf, _probes = ivf_assign_udfs(cents, 1)
         sums = (
@@ -540,7 +550,10 @@ def v05_ann_ivf_kmeans(spark, sf_dir):
     partial-aggregated shuffle of cells × dim rows, and driver state
     never exceeds the codebook."""
     emb = load(spark, sf_dir, "embeddings")
-    refined = kmeans_refine(emb, md5_rank_centroids(emb), iters=KMEANS_ITERS)
+    init = md5_rank_centroids(
+        emb, derived_n_cells(table_num_rows(sf_dir, "embeddings"))
+    )
+    refined = kmeans_refine(emb, init, iters=KMEANS_ITERS)
     q = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, q, refined)
 
@@ -585,33 +598,81 @@ def semantic_dedup(
     if centroids is None:
         centroids = md5_rank_centroids(emb)
     cell_udf, _probes = ivf_assign_udfs(centroids, 1)
+    # r7 shape: ONE grouped Arrow pass per cell replaces the former
+    # (checkpoint + cell self-join + per-pair cosine UDF + ranking
+    # window) chain. The self-join shipped BOTH vectors of every
+    # intra-cell pair through Arrow (~n·TARGET_CELL_ROWS KB-sized
+    # rows); grouping ships each vector ONCE and computes the pair
+    # cosines as numpy batch ops inside the group. Bit-compatibility:
+    # the pair cosine is the IDENTICAL einsum/norm float64 sequence
+    # cosine_udf runs (per-row results depend only on the row pair),
+    # with the same floor(x*1e6+0.5)/1e6 rounding, and a vector whose
+    # minimal qualifying partner exists is resolved within its own
+    # cell — every candidate pair shares the dup's cell — so the
+    # per-dup min-keep_id rule needs no global window. Spark NaN
+    # semantics (NaN >= tau is TRUE) are mirrored explicitly. Pair
+    # slabs are bounded (PAIR_SLAB) so a skewed cell cannot blow task
+    # memory; cells grow with the corpus (derived_n_cells), so groups
+    # stay ~TARGET_CELL_ROWS rows at any scale.
+    # (no upstream repartition: the groupBy's own exchange spreads the
+    # pair work, and an extra shuffle A/B-measured as a wash at sf1.0)
     asn = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
         cell_udf(F.col("embedding")).alias("cell"),
-    # pinned: the cell self-join reads the assignments twice — without
-    # this the Arrow assignment scan runs once per join side (d03 pins
-    # its fingerprints for the same reason)
-    ).localCheckpoint(eager=True)
-    a, b = asn.alias("a"), asn.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("dup_id"),
-            F.col("a.vec_id").alias("keep_id"),
-            r6(cosine_udf(F.col("a.v"), F.col("b.v"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= tau)
     )
-    w = Window.partitionBy("dup_id").orderBy("keep_id")
+
+    PAIR_SLAB = 200_000
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"dup_id": pd.Series([], dtype="int64"),
+                 "keep_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        best_keep = np.full(n, -1, dtype=np.int64)
+        best_cos = np.full(n, np.nan)
+        # i ascending in slabs: the first slab that resolves dup j did
+        # so with the smallest qualifying keep index
+        rows_per_slab = max(1, PAIR_SLAB // n)
+        for s in range(0, n - 1, rows_per_slab):
+            e = min(s + rows_per_slab, n - 1)
+            counts = n - 1 - np.arange(s, e)
+            ii = np.repeat(np.arange(s, e), counts)
+            jj = np.concatenate(
+                [np.arange(i + 1, n) for i in range(s, e)]
+            )
+            if not len(ii):
+                continue
+            a, b = m[ii], m[jj]
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.floor(num / den * 1_000_000 + 0.5) / 1_000_000
+            hit = (cos >= tau) | np.isnan(cos)  # Spark: NaN > any value
+            hit &= best_keep[jj] < 0  # dup already resolved by smaller i
+            if not hit.any():
+                continue
+            jh, ih, ch = jj[hit], ii[hit], cos[hit]
+            # first occurrence per dup = smallest i (i-major order)
+            uj, first = np.unique(jh, return_index=True)
+            best_keep[uj] = ih[first]
+            best_cos[uj] = ch[first]
+        got = best_keep >= 0
+        return pd.DataFrame(
+            {"dup_id": ids[got], "keep_id": ids[best_keep[got]],
+             "cosine": best_cos[got]}
+        )
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("dup_id", "keep_id", "cosine")
+        asn.groupBy("cell")
+        .applyInPandas(cell_pairs, "dup_id long, keep_id long, cosine double")
         .orderBy("dup_id")
     )
 
@@ -792,11 +853,17 @@ def v07_ann_ivf_pq(spark, sf_dir):
     ordering, and the final ranking value-match SQL exactly.
 
     100 TB shape: encoding is one Arrow scan (books in closure); the
-    ADC pass emits (hit, query, adist) scalars with NO join — the
-    per-query shortlist is a TakeOrderedAndProject-sized window; only
+    ADC pass emits (hit, query, adist) scalars with NO join; only
     ~PQ_REFINE x n_queries rows ever rejoin the full vectors
-    (broadcast). Composes with v04's cells (IVF-PQ) by running the
-    same ADC inside probed cells only."""
+    (broadcast). Honest caveat (ADVICE r6): the shortlist window
+    partitions by query_id, so with N_QUERIES partitions the exchange
+    feeding it funnels n_corpus x n_queries scalar rows into
+    N_QUERIES reducers — fine for a handful of queries over scalar
+    rows, but a large query workload at corpus scale should
+    pre-truncate per task (local top-PQ_REFINE per query per
+    partition before the global window) to keep the exchange flat.
+    Composes with v04's cells (IVF-PQ) by running the same ADC inside
+    probed cells only."""
     emb = load(spark, sf_dir, "embeddings")
     books = _pq_books(md5_rank_centroids(emb, PQ_K))
     qrows = sorted(

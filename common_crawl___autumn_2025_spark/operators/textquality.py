@@ -110,7 +110,12 @@ def t02_quality_score(spark, sf_dir):
     text = F.col("text")
     n_words = F.size(F.split(text, " "))
     n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
-    return load(spark, sf_dir, "documents").select(
+    # spread before the regex scan: the parquet file is one input
+    # split (single row group), so the per-row regex work would
+    # otherwise run on a single core (r7; d02's pattern)
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
         n_words.alias("n_words"),
         F.length(text).cast("long").alias("n_chars_actual"),

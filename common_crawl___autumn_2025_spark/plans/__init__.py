@@ -41,6 +41,24 @@ def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a catalog parquet table from FOOTER METADATA
+    — no Spark job (r7, VERDICT r6 #7: ``derived_n_cells`` paid one
+    full count() job per v04/v05/v06/v07 invocation; the parquet
+    footer already stores the exact count). Handles both a single
+    file and a directory of part files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 BROADCAST_LIMIT_BYTES = 64 << 20
 
 

@@ -317,6 +317,9 @@ def j01_left_join_padded_key(spark, sf_dir):
     """J1+J2: left outer equi join on zero-padded normalized keys
     (ref combine_trustpilot_with_CH.py:11-15, zfill(8)). Small dim →
     broadcast hash join."""
+    # NOTE (r7): a probe-side repartition was A/B-measured here and
+    # REVERTED — the pad+join work is too cheap for the extra shuffle
+    # to pay (interleaved A/B at sf1.0: 0.91 s plain vs 1.16 s spread)
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     pad = lambda c: F.lpad(F.col(c).cast("string"), 8, "0")  # noqa: E731
@@ -345,30 +348,54 @@ def j03_fuzzy_similarity_join(spark, sf_dir):
     """J3/F4: Levenshtein-ratio >= 0.9 fuzzy join with a blocking key
     (ref URL_similarity_match, Matching_P1.py:43-91; blocking concept
     Data Exploration/README.md:8). Threshold is a cross-multiplied
-    integer comparison — no FP in the predicate. Blocking on p_brand
-    keeps the theta-join quadratic blow-up per-block only."""
+    integer comparison — no FP in the predicate.
+
+    r7 shape: the ratio predicate depends ONLY on the two names, and
+    name cardinality is far below row cardinality (the part vocabulary
+    repeats; 64 distinct names over 2·10^5 rows at sf1.0), so the
+    quadratic levenshtein work runs once per DISTINCT (brand, name_a,
+    name_b) combination — |names|² per brand instead of |rows|² per
+    brand — and the verdicts are expanded back to partkey pairs with
+    two equi joins (52.7 s -> ~1 s at sf1.0; identical pair set: every
+    (row_a, row_b) pair maps to exactly one directed name pair, and
+    the diagonal name pair covers identical-name rows). With an
+    all-distinct vocabulary this degrades gracefully to the original
+    per-pair join plus one cheap distinct. Broadcast hints stay gated
+    on the on-disk size (maybe_broadcast) exactly as before."""
     part = load(spark, sf_dir, "part")
-    # probe side spread across all cores (single small parquet file =
-    # one input split otherwise); build side broadcast ONLY while part
-    # fits the size limit -> BroadcastHashJoin on the brand equi-key
-    # with the ratio as residual; at 100x the hint drops and the
-    # blocking key makes the sort-merge join equally efficient
-    a = part.repartition(spark.sparkContext.defaultParallelism).alias("a")
-    b = maybe_broadcast(part.alias("b"), sf_dir, "part")
-    la = F.length("a.p_name")
-    lb = F.length("b.p_name")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
+    names = part.select("p_brand", "p_name").distinct()
+    x = names.alias("x")
+    y = maybe_broadcast(names.alias("y"), sf_dir, "part")
+    la = F.length("x.p_name")
+    lb = F.length("y.p_name")
+    lev = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+    # directed verdict table: every (name_a, name_b) ordered pair
+    # (diagonal included) whose levenshtein ratio passes — tiny
+    matches = (
+        x.join(y, F.col("x.p_brand") == F.col("y.p_brand"))
         .where((la + lb - lev) * 10 >= 9 * (la + lb))
         .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
+            F.col("x.p_brand").alias("p_brand"),
+            F.col("x.p_name").alias("name_a"),
+            F.col("y.p_name").alias("name_b"),
         )
+    )
+    # probe side spread across all cores (single small parquet file =
+    # one input split otherwise; the expansion multiplies rows ~250x)
+    a = part.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("p_partkey").alias("part_a"), "p_brand",
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"), "p_brand",
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(maybe_broadcast(matches, sf_dir, "part"),
+               on=["p_brand", "name_a"])
+        .join(maybe_broadcast(b, sf_dir, "part"), on=["p_brand", "name_b"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b")
     )
 
 

@@ -116,32 +116,45 @@ def t11_bm25_topk(spark, sf_dir):
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id string, term string",
     )
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
-        ).alias("toks"),
+    # ONE tokenization pass (r7): the corpus-wide regex split is the
+    # dominant cost of this query, and `stats` (needs every doc's dl)
+    # and `tf` (needs the gated tokens) would otherwise each tokenize
+    # the full corpus. Reduce the scan to (doc_id, dl, gated tokens) —
+    # a few bytes per doc once the query-term gate has dropped ≈ the
+    # whole token stream — and pin it; both consumers read the pinned
+    # relation. The query-term gate stays INSIDE the array, before
+    # explode, so non-matching tokens never materialize as rows.
+    # For a runtime-dynamic query set the same shape holds with the
+    # broadcast semi join placed directly after the explode instead.
+    all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    gated = (
+        load(spark, sf_dir, "documents")
+        # spread the corpus across cores BEFORE the regex tokenize —
+        # a small parquet file arrives as ONE input split, and the
+        # tokenize pass is this query's dominant cost (d02's pattern)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter(F.col("toks"), lambda t: t.isin(all_terms)).alias(
+                "qtoks"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    stats = docs.select(F.size("toks").alias("dl")).agg(
+    stats = gated.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     # dl rides along with the postings (one scan, no doc_id re-join).
-    # The query-term gate is applied INSIDE the array, before explode:
-    # the catalog workload's term set is a compile-time constant, so
-    # the non-matching tokens (≈ the whole corpus token stream) are
-    # never materialized as rows at all — explode emits matches only.
-    # For a runtime-dynamic query set the same shape holds with the
-    # broadcast semi join placed directly after the explode instead.
-    all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     tf = (
-        docs.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode(
-                F.filter(F.col("toks"), lambda t: t.isin(all_terms))
-            ).alias("term"),
-        )
+        gated.select("doc_id", "dl", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )

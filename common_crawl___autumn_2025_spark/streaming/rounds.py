@@ -868,7 +868,14 @@ def stream_exactly_once_sink(
     stage_dir, work_dir = _stage_time_ordered(batch, n_files, "stream_sink")
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="st09_sink_")  # outlives return:
-        # the driver collects the returned DataFrame after this call
+        # the driver collects the returned DataFrame after this call.
+        # ADVICE r6 #2: it must not outlive the PROCESS — register a
+        # best-effort atexit removal so repeated catalog/bench/driver
+        # invocations stop accumulating sf-scale parquet trees in /tmp
+        # (each registration holds one small dir path, not data).
+        import atexit
+
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     ck_dir = tempfile.mkdtemp(prefix="st09_ck_")
     try:
         shipped = (
