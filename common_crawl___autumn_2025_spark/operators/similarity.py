@@ -87,7 +87,13 @@ def v01_cosine_topk_bruteforce(spark, sf_dir):
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("hit_id"), F.col("embedding").alias("cv"))
+    # corpus side spread (r7): the single-split scan funnels the whole
+    # Q·N cosine stream (~100 MB Arrow at sf1.0) through ONE task;
+    # interleaved A/B at sf1.0: 0.61 s spread vs 0.83 s plain (unlike
+    # ivf_topk, where the same hint LOST — see its NOTE)
+    c = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.col("vec_id").alias("hit_id"), F.col("embedding").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("hit_id"))
         .select(
