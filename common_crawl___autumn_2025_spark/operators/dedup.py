@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..crawl.hashing import bloom_positions_vec, h1_from_int64
 from ..functions.xxh64_sql import xxh64_ctes
-from ..plans import load, register
+from ..plans import load, register, spread_if_large
 
 N_HASHES = 32          # minhash signature length
 N_BANDS = 16           # LSH bands (rows per band = 2): for J=0.85
@@ -895,10 +895,12 @@ def d08_exact_substring(spark, sf_dir):
     excluded (mirrored by the oracle)."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     inst = (
-        # spread before the tokenize+hash explode: the small parquet
-        # file arrives as ONE input split (single row group), so the
-        # chunk digesting would otherwise run on one core (d02 pattern)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # scale-adaptive spread before the tokenize+hash explode: a
+        # small parquet file arrives as ONE input split, serializing
+        # the chunk digesting — but only worth the exchange once every
+        # core gets >= 1024 docs (A/B: sf1.0 1.91->1.62 s; sf0.1 the
+        # unconditional spread read 0.69->0.95 s, hence the gate)
+        spread_if_large(docs, sf_dir, "documents", key="doc_id")
         .withColumn("toks", F.split("text", " "))
         .withColumn("nch", F.floor(F.size("toks") / CHUNK).cast("int"))
         .where(F.col("nch") >= 1)

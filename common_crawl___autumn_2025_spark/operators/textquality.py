@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.xxh64_sql import xxh64_ctes
-from ..plans import load, register
+from ..plans import load, register, spread_if_large
 
 # marker-word heuristic language ID (n-gram heuristic family;
 # deterministic, works on any text — the reference seeds langdetect
@@ -110,11 +110,12 @@ def t02_quality_score(spark, sf_dir):
     text = F.col("text")
     n_words = F.size(F.split(text, " "))
     n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
-    # spread before the regex scan: the parquet file is one input
-    # split (single row group), so the per-row regex work would
-    # otherwise run on a single core (r7; d02's pattern)
-    return load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # scale-adaptive spread before the regex scan: a single-row-group
+    # parquet file is ONE input split, serializing the per-row regex
+    # (sf1.0: 1.23->0.42 s); below ~1024 docs/core the exchange is
+    # not worth it and the scan stays as-is (r7)
+    return spread_if_large(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", key="doc_id"
     ).select(
         "doc_id",
         n_words.alias("n_words"),

@@ -59,6 +59,23 @@ def table_num_rows(sf_dir: str, table: str) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def spread_if_large(df, sf_dir: str, table: str,
+                    min_rows_per_task: int = 1024, key: str | None = None):
+    """Scale-adaptive spread (r7, guide §2): a single-row-group
+    parquet file arrives as ONE input split, serializing heavy
+    per-row work — but for small inputs the extra exchange costs more
+    than the parallelism buys (A/B-measured both ways this round).
+    Repartition to defaultParallelism only when the footer row count
+    gives every core at least ``min_rows_per_task`` rows; the
+    decision is metadata-only (no Spark job) and tracks the actual
+    input scale instead of a constant tuned to one sf."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if table_num_rows(sf_dir, table) < min_rows_per_task * par:
+        return df
+    return df.repartition(par, key) if key else df.repartition(par)
+
+
 BROADCAST_LIMIT_BYTES = 64 << 20
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, spread_if_large
 
 # BM25 constants (Robertson/Sparck Jones defaults).
 _K1 = 1.2
@@ -128,11 +128,14 @@ def t11_bm25_topk(spark, sf_dir):
     # broadcast semi join placed directly after the explode instead.
     all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     gated = (
-        load(spark, sf_dir, "documents")
-        # spread the corpus across cores BEFORE the regex tokenize —
-        # a small parquet file arrives as ONE input split, and the
-        # tokenize pass is this query's dominant cost (d02's pattern)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # scale-adaptive spread BEFORE the regex tokenize — a small
+        # parquet file arrives as ONE input split and the tokenize
+        # pass is this query's dominant cost (d02's pattern); below
+        # ~1024 docs/core the exchange is skipped (r7)
+        spread_if_large(
+            load(spark, sf_dir, "documents"), sf_dir, "documents",
+            key="doc_id",
+        )
         .select(
             "doc_id",
             F.filter(
