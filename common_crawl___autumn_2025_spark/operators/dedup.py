@@ -160,15 +160,20 @@ def shingle_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> Data
         ).alias("shingle"),
     ).localCheckpoint(eager=True)
     # document-frequency cap: drop hot shingles before the self-join.
-    # The DF aggregate and the semi-join share the shingle key with
-    # the main join — co-partitioned, no extra shuffle pattern.
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("__df"))
+    # r7: the df count is a WINDOW over the shingle partition instead
+    # of the former aggregate + semi-join — the window's required
+    # distribution is the same hash(shingle) the self-join needs, so
+    # the cap costs no extra exchange at all (A/B at sf1.0: pair
+    # chain 1.27 s -> 0.74 s; identical row multiset — same per-
+    # shingle df, same <= cap filter, mirrored by the oracle's rare
+    # CTE as before).
+    shc = (
+        sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        )
         .where(F.col("__df") <= max_df)
-        .select("shingle")
+        .drop("__df")
     )
-    shc = sh.join(rare, on=["shingle"], how="inner")
     # the exploded relation is ~50x the parquet row-count the planner
     # sees, so Catalyst would wrongly broadcast it — force a shuffle
     # hash join on the shingle key (both sides are the same size; at
