@@ -322,6 +322,11 @@ class CrawlEngine:
     # commit writes overlap via threads only while the round is small
     # enough that each write job leaves cores idle
     concurrent_commit_threshold = 50_000
+    # the one-aggregate next-frontier count (no window subtree) is
+    # only taken while the matched-id mirror is small enough that its
+    # gate is an isin/broadcast filter; past this, fall back to
+    # count(next_frontier) — same value, just the multi-stage plan
+    fast_count_mirror_limit = 100_000
 
     def __init__(
         self,
@@ -416,6 +421,41 @@ class CrawlEngine:
         return df.join(
             F.broadcast(self._matched_df), on=["seed_id"], how="left_anti"
         )
+
+    def _next_frontier_count_fast(self, fetched: DataFrame) -> int:
+        """EXACT row count of the round's next frontier as one
+        aggregate over the eagerly-checkpointed fetch — the count job
+        otherwise re-derives the whole next_frontier plan, including
+        the new-matches window subtree the mirror collect just
+        materialized (guide §2.4: don't recompute a subtree another
+        job already paid for). Equality with count(next_frontier) is
+        by construction: explode(admitted) emits size(admitted) rows
+        per page passing the expansion gates, and the early-exit pair
+        (pre-update matched filter + left_anti vs this round's delta)
+        is exactly one membership test against the JUST-UPDATED
+        mirror (old ∪ delta); each retry-eligible row re-enqueues
+        exactly once, bypassing the matched gate like retry_next
+        does. Only valid after run() folded the round's delta into
+        the mirror; equality is pytest-pinned across the replay grid."""
+        assert self._mirror_valid, "fast count requires the driver mirror"
+        spec = self.spec
+        base = fetched.where(
+            (F.col("status") == 200) & (F.col("depth") < spec.max_depth)
+        )
+        if spec.early_exit:
+            base = self._filter_unmatched(base, None)
+        counted = base.select(
+            F.coalesce(F.size("admitted"), F.lit(0)).alias("__n")
+        )
+        if spec.retry_max > 0:
+            counted = counted.unionByName(
+                fetched.where(
+                    F.col("status").isin(list(spec.retry_statuses))
+                    & (F.col("retry_count") < spec.retry_max)
+                ).select(F.lit(1).cast("int").alias("__n"))
+            )
+        n = counted.agg(F.sum("__n")).collect()[0][0]
+        return int(n or 0)
 
     def _robots_flags_factory(self):
         """Zero-arg factory -> (pdf -> DataFrame[__robots_ok, __delay])
@@ -995,39 +1035,51 @@ class CrawlEngine:
                     # first iteration: no prior commit to fold at, so
                     # the delta joins the pre-loop cumulative base here
                     matches = matches.unionByName(match_delta)
-                # overlap the commit writes with the driver-mirror
-                # update (tiny collect over the checkpointed delta)
-                # AND the next-frontier count (explode over the
-                # checkpointed fetch) — the two tiny jobs are
-                # independent, so they run CONCURRENTLY (guide §2.6)
-                # instead of back-to-back on the critical path (r7:
-                # each is ~0.2-0.4 s of fixed job latency per round)
-                cnt_holder: dict = {}
-
-                def _count(df=nxt):
-                    try:
-                        cnt_holder["n"] = df.count()
-                    except BaseException as e:  # noqa: BLE001
-                        cnt_holder["err"] = e
-
-                cnt_thread = threading.Thread(
-                    target=_count, name=f"frontier-count-r{round_no}"
-                )
-                cnt_thread.start()
+                # mirror update first (tiny collect over the
+                # checkpointed delta), then the next-frontier count:
+                # once the round's delta is folded into the driver
+                # mirror, count(next_frontier) collapses to ONE
+                # aggregate over the checkpointed fetch
+                # (_next_frontier_count_fast) instead of a multi-stage
+                # job re-deriving the new-matches window subtree the
+                # collect just materialized (guide §2.4). Measured (r7,
+                # idle host): the count job alone was 0.6-0.9 s and
+                # 1.3-1.9 s while contending with the concurrent
+                # commit writes; the aggregate reads ~0.2-0.3 s.
+                # The mirror needs only the SET of seed ids with any
+                # hit this round (set-union with the old ids is
+                # idempotent, so neither the delta's already-matched
+                # filter nor its first-row window changes the result)
+                # — so read the hit rows straight off the checkpointed
+                # fetch: a narrow single-stage collect instead of the
+                # delta's window+filter job. Rows collected are
+                # bounded by this round's hit pages (≥ the delta's
+                # 1-per-seed, same order of magnitude); the
+                # matched_mirror_limit invalidation above still caps
+                # driver state at the design point.
                 if self._mirror_valid:
                     new_ids = [
-                        r[0] for r in match_delta.select("seed_id").collect()
+                        r[0]
+                        for r in fetched.where(
+                            (F.col("status") == 200)
+                            & (F.col("target_number") != "")
+                        )
+                        .select("seed_id")
+                        .collect()
                     ]
                     self._matched_ids.update(new_ids)
                     if len(self._matched_ids) > self.matched_mirror_limit:
                         self._mirror_valid = False
                         self._matched_ids = set()
                         self._matched_df_n = None
-                cnt_thread.join()
-                if "err" in cnt_holder:
-                    raise cnt_holder["err"]
+                if (
+                    self._mirror_valid
+                    and len(self._matched_ids) <= self.fast_count_mirror_limit
+                ):
+                    frontier_count = self._next_frontier_count_fast(fetched)
+                else:
+                    frontier_count = nxt.count()
                 frontier = nxt
-                frontier_count = cnt_holder["n"]
             if pending is not None:
                 self._finish_commit(pending, summary)
                 pending["fetched"].unpersist()
