@@ -1072,7 +1072,15 @@ class CrawlEngine:
                         self._mirror_valid = False
                         self._matched_ids = set()
                         self._matched_df_n = None
-                if (
+                if round_no + 1 >= spec.max_rounds:
+                    # final round: the count's ONLY consumers are the
+                    # next iteration's loop gate, sizing, and metrics
+                    # — none of which exist past max_rounds. A later
+                    # resume reads the committed frontier table's row
+                    # count from the manifest, never driver memory,
+                    # so skipping the job here changes nothing.
+                    frontier_count = None
+                elif (
                     self._mirror_valid
                     and len(self._matched_ids) <= self.fast_count_mirror_limit
                 ):
